@@ -1,0 +1,93 @@
+"""Quaternion algebra on plain JAX arrays.
+
+Quaternions are `(..., 4)` arrays `[re, i, j, k]`. All functions broadcast
+over leading batch dimensions and are jit/vmap/grad-safe. Unit quaternions
+are a convention of the caller, not a type: functions that assume unit norm
+say so.
+
+Semantics follow the reference implementation
+(`/root/reference/lib/FlightPhysics/src/quaternions.jl`): the Hamilton
+product (`quaternions.jl:109-115`), conjugate/inverse (`:71-78`), and
+normalization.
+"""
+
+import jax.numpy as jnp
+
+
+def quat(re=0.0, im=(0.0, 0.0, 0.0), dtype=None):
+    """Build a quaternion array from real and imaginary parts."""
+    re = jnp.asarray(re, dtype=dtype)
+    im = jnp.asarray(im, dtype=dtype)
+    return jnp.concatenate([re[..., None], jnp.broadcast_to(im, re.shape + (3,))], axis=-1)
+
+
+def qre(q):
+    return q[..., 0]
+
+
+def qim(q):
+    return q[..., 1:4]
+
+
+def qmul(q1, q2):
+    """Hamilton product q1 ∘ q2 (no renormalization)."""
+    r1, v1 = q1[..., 0], q1[..., 1:]
+    r2, v2 = q2[..., 0], q2[..., 1:]
+    re = r1 * r2 - jnp.sum(v1 * v2, axis=-1)
+    im = (r1[..., None] * v2 + r2[..., None] * v1 + jnp.cross(v1, v2))
+    return jnp.concatenate([re[..., None], im], axis=-1)
+
+
+def qconj(q):
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def qinv(q):
+    """Inverse of a general (free) quaternion: conj(q)/|q|^2."""
+    return qconj(q) / jnp.sum(q * q, axis=-1, keepdims=True)
+
+
+def qinv_unit(q):
+    """Inverse of a unit quaternion (= conjugate)."""
+    return qconj(q)
+
+
+def qnorm(q):
+    return jnp.linalg.norm(q, axis=-1)
+
+
+def qnormalize(q):
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def qrot(q, v):
+    """Rotate vector(s) v by unit quaternion q: a-frame coords of a b-frame
+    vector when q = q_ab. Uses v + 2*q_im × (q_re*v + q_im × v)
+    (cf. reference `attitude.jl:98-103`)."""
+    q_re = q[..., 0:1]
+    q_im = q[..., 1:4]
+    return v + 2.0 * jnp.cross(q_im, q_re * v + jnp.cross(q_im, v))
+
+
+def qrot_inv(q, v):
+    """Rotate v by the inverse of unit quaternion q (b-frame coords of an
+    a-frame vector when q = q_ab)."""
+    return qrot(qconj(q), v)
+
+
+def qdt(q_ab, omega_ab_b):
+    """Time derivative of a rotation quaternion: 0.5 * q ∘ (0, ω)
+    (cf. reference `attitude.jl:118`)."""
+    zero = jnp.zeros_like(omega_ab_b[..., :1])
+    return 0.5 * qmul(q_ab, jnp.concatenate([zero, omega_ab_b], axis=-1))
+
+
+def qomega(q_ab, qdot_ab):
+    """Angular velocity from a unit rotation quaternion and its derivative:
+    ω_ab_b = 2 * Im(q' ∘ q̇) (cf. reference `attitude.jl:129`)."""
+    return 2.0 * qmul(qconj(q_ab), qdot_ab)[..., 1:4]
+
+
+def qidentity(dtype=jnp.float64, batch=()):
+    q = jnp.zeros(batch + (4,), dtype=dtype).at[..., 0].set(1.0)
+    return q

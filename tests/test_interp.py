@@ -1,0 +1,68 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flightjax.ops.interp import Lookup
+
+
+def test_1d_linear_flat():
+    xs = jnp.asarray([0.0, 1.0, 3.0])
+    ys = jnp.asarray([0.0, 2.0, 4.0])
+    f = Lookup((xs,), ys, extrap="flat")
+    np.testing.assert_allclose(f(jnp.asarray(0.5)), 1.0)
+    np.testing.assert_allclose(f(jnp.asarray(2.0)), 3.0)
+    np.testing.assert_allclose(f(jnp.asarray(-5.0)), 0.0)   # flat extrap
+    np.testing.assert_allclose(f(jnp.asarray(10.0)), 4.0)
+
+
+def test_1d_line_extrap():
+    xs = jnp.asarray([0.0, 1.0])
+    ys = jnp.asarray([0.0, 2.0])
+    f = Lookup((xs,), ys, extrap="line")
+    np.testing.assert_allclose(f(jnp.asarray(2.0)), 4.0)
+    np.testing.assert_allclose(f(jnp.asarray(-1.0)), -2.0)
+
+
+def test_2d_bilinear():
+    xs = jnp.asarray([0.0, 1.0])
+    ys = jnp.asarray([0.0, 1.0, 2.0])
+    V = jnp.asarray([[0.0, 1.0, 2.0],
+                     [10.0, 11.0, 12.0]])
+    f = Lookup((xs, ys), V)
+    np.testing.assert_allclose(f(0.5, 0.5), 5.5)
+    np.testing.assert_allclose(f(0.25, 1.5), 4.0)
+    # exact at nodes
+    np.testing.assert_allclose(f(1.0, 2.0), 12.0)
+
+
+def test_vector_valued_and_batched():
+    xs = jnp.linspace(0, 1, 5)
+    V = jnp.stack([xs, xs**0 * 3.0], axis=-1)  # (5, 2)
+    f = Lookup((xs,), V)
+    out = f(jnp.asarray([0.1, 0.9]))
+    assert out.shape == (2, 2)
+    np.testing.assert_allclose(out[:, 0], [0.1, 0.9], atol=1e-12)
+    np.testing.assert_allclose(out[:, 1], 3.0)
+
+
+def test_jit_vmap_grad():
+    xs = jnp.linspace(0.0, 2 * jnp.pi, 200)
+    f = Lookup((xs,), jnp.sin(xs))
+    g = jax.jit(lambda x: f(x))
+    np.testing.assert_allclose(g(jnp.asarray(1.0)), np.sin(1.0), atol=2e-4)
+    vm = jax.vmap(f)(jnp.linspace(0.5, 1.5, 8))
+    np.testing.assert_allclose(vm, np.sin(np.linspace(0.5, 1.5, 8)), atol=2e-4)
+    d = jax.grad(lambda x: f(x))(jnp.asarray(1.0))
+    np.testing.assert_allclose(d, np.cos(1.0), atol=1e-2)
+
+
+def test_nonuniform_3d():
+    xs = jnp.asarray([0.0, 0.5, 2.0])
+    ys = jnp.asarray([-1.0, 1.0])
+    zs = jnp.asarray([0.0, 1.0, 2.0, 4.0])
+    X, Ymesh, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    V = 2 * X - 3 * Ymesh + 0.5 * Z  # trilinear function is exactly reproduced
+    f = Lookup((xs, ys, zs), V)
+    pts = [(0.3, 0.2, 3.1), (1.7, -0.5, 0.2)]
+    for x, y, z in pts:
+        np.testing.assert_allclose(f(x, y, z), 2 * x - 3 * y + 0.5 * z, atol=1e-12)
