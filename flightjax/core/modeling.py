@@ -1,0 +1,96 @@
+"""Hierarchical hybrid (continuous + discrete) modeling protocol, TPU-native.
+
+The reference builds a mutable `Model` tree whose child state vectors alias
+slices of the parent's ComponentVector (`modeling.jl:89-159`), with update
+protocol `f_init!/f_ode!/f_step!/f_periodic!/f_output!`
+(`modeling.jl:196-254`). Here the same protocol becomes *pure functional
+composition over pytrees*:
+
+- A **component** is a Python object holding only static configuration
+  (shapes, table lookups, physical constants). It provides:
+
+    init_x() / init_u() / init_s()      -> pytrees (or None) of initial
+                                           continuous state / input /
+                                           discrete state
+    f_ode(x, u, s, t, *ctx)             -> (x_dot, y)   pure continuous
+                                           dynamics + output
+    f_step(x, u, s, t, *ctx)            -> (x, s)       post-integration-step
+                                           impulse (renormalization, FSMs)
+    f_periodic(x, u, s, t, *ctx)        -> (x, u, s)    scheduled discrete
+                                           update at its sampling period
+
+  Composites implement these by calling their children and assembling
+  pytrees — the reference's array aliasing becomes plain data flow.
+
+- **Multirate scheduling**: the reference gates a submodel's periodic update
+  with `_n % _N == 0` where `_n` counts root periodic firings and `_N` is
+  the product of `Subsampled` multipliers down the tree
+  (`modeling.jl:68-78,225-228`). Here the root firing index `k` is carried
+  by the simulation loop and composites apply `periodic_gate(k, N, fn,
+  state)` — a branch-free masked update (`lax.cond` would serialize;
+  `jnp.where` keeps everything vectorizable under `vmap`).
+
+All state containers are NamedTuples/pytrees of arrays; everything jits,
+vmaps and differentiates.
+"""
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def tree_where(pred, true_tree, false_tree):
+    """Elementwise select between two identically-structured pytrees.
+    `pred` is a scalar (or broadcastable) boolean."""
+    return jax.tree.map(lambda t, f: jnp.where(pred, t, f), true_tree, false_tree)
+
+
+def periodic_gate(k, N, fn, state):
+    """Run `fn(state) -> state` only when root periodic firing index `k` is a
+    multiple of `N` (the reference's `Conditional` execution,
+    `modeling.jl:225-228`); otherwise pass `state` through unchanged.
+
+    `N == 1` short-circuits statically (the common single-rate case compiles
+    with no select at all)."""
+    if N == 1:
+        return fn(state)
+    return tree_where(k % N == 0, fn(state), state)
+
+
+class Component:
+    """Base class with inert defaults: no state, no inputs, no dynamics.
+    Subclasses override what they need (the reference's `@no_ode/@no_step/
+    @no_periodic` defaults, `modeling.jl:260-277`)."""
+
+    def init_x(self):
+        return None
+
+    def init_u(self):
+        return None
+
+    def init_s(self):
+        return None
+
+    def f_ode(self, x, u, s, t, *ctx):
+        return None, None
+
+    def f_step(self, x, u, s, t, *ctx):
+        return x, s
+
+    def f_periodic(self, x, u, s, t, *ctx):
+        return x, u, s
+
+
+class Subsampled:
+    """Marks a child component as running its periodic update every K parent
+    firings. Composites are responsible for honoring `.K` via
+    `periodic_gate` with the *root-relative* product of multipliers
+    (mirrors `modeling.jl:155-159`)."""
+
+    def __init__(self, component, K: int):
+        self.component = component
+        self.K = int(K)
+
+    def __getattr__(self, name):
+        return getattr(self.component, name)

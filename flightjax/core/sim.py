@@ -1,0 +1,208 @@
+"""Fixed-step hybrid simulation engine under `jax.lax.scan`.
+
+TPU-native replacement for the reference's OrdinaryDiffEq-based driver
+(`sim.jl:183-381`). One integration step reproduces the reference's exact
+event ordering (`sim.jl:204-218,301-381`):
+
+    1. RK4 stages over the continuous state (f_ode, 4 evaluations)
+    2. f_step      — post-step impulse (quaternion renorm, FSMs, crashes)
+    3. f_periodic  — only when t has reached the next multiple of Δt;
+                     fires with root counter `k` (the reference's `_n`),
+                     which starts at 0 on the first firing at t = t0 + Δt
+                     (no firing at t0 — `sim.jl:357-362`)
+    4. output/save — y recomputed at the post-update state (the reference
+                     logs the y left over from the last RK4 stage plus any
+                     f_step/f_periodic writes — `sim.jl:345-347`; we
+                     recompute once at (t_new, x_new) which is cleaner and
+                     costs one extra f_ode only when saving)
+
+Δt must be an integer multiple of dt (the reference supports dt > Δt by
+letting the integrator shorten steps; with a fixed-step scan the natural
+contract is steps_per_periodic = Δt/dt ∈ ℕ).
+
+Everything is pure: `step` maps a `SimState` to the next, `run` scans it,
+and whole fleets batch with `jax.vmap(sim.step)` over stacked states.
+Early termination (the reference's `SimulationTermination` exceptions,
+`sim.jl:23-44`) is a *mask*: components raise a `terminated` flag in their
+discrete state and the world freezes that lane (see models).
+"""
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from flightjax.core.modeling import tree_where
+
+
+class SimState(NamedTuple):
+    """Carried simulation state: time, step index, periodic firing counter,
+    and the model's (x, u, s) pytrees."""
+    t: Any
+    i: Any  # integration step counter (int32)
+    x: Any
+    u: Any
+    s: Any
+
+
+def rk4_step(f_ode, x, u, s, t, dt, ctx=()):
+    """Classic RK4 over an arbitrary pytree continuous state. Matches the
+    reference default algorithm (`sim.jl:186-196`)."""
+    ax = partial(jax.tree.map, lambda a, b: a + b)  # pytree add
+
+    def scaled(tree, c):
+        return jax.tree.map(lambda v: c * v, tree)
+
+    k1, _ = f_ode(x, u, s, t, *ctx)
+    k2, _ = f_ode(ax(x, scaled(k1, dt / 2)), u, s, t + dt / 2, *ctx)
+    k3, _ = f_ode(ax(x, scaled(k2, dt / 2)), u, s, t + dt / 2, *ctx)
+    k4, _ = f_ode(ax(x, scaled(k3, dt)), u, s, t + dt, *ctx)
+
+    incr = jax.tree.map(
+        lambda a, b, c, d: (dt / 6.0) * (a + 2 * b + 2 * c + d), k1, k2, k3, k4)
+    return ax(x, incr)
+
+
+def heun_step(f_ode, x, u, s, t, dt, ctx=()):
+    """Heun's method (the reference's alternate low-order algorithm)."""
+    add = partial(jax.tree.map, lambda a, b: a + b)
+    k1, _ = f_ode(x, u, s, t, *ctx)
+    x1 = add(x, jax.tree.map(lambda v: dt * v, k1))
+    k2, _ = f_ode(x1, u, s, t + dt, *ctx)
+    incr = jax.tree.map(lambda a, b: (dt / 2.0) * (a + b), k1, k2)
+    return add(x, incr)
+
+
+_INTEGRATORS = {"rk4": rk4_step, "heun": heun_step}
+
+
+class Simulation:
+    """Simulation driver for a root component implementing the
+    `flightjax.core.modeling.Component` protocol.
+
+    Parameters mirror `Simulation(mdl; algorithm, dt, Δt, t_start, ...)`
+    (`sim.jl:183-196`). `ctx` is a tuple of extra static/slow-varying
+    arguments forwarded to the component's update functions.
+    """
+
+    def __init__(self, system, dt=0.02, periodic_dt=None, t_start=0.0,
+                 algorithm="rk4"):
+        self.system = system
+        self.dt = float(dt)
+        self.periodic_dt = float(periodic_dt) if periodic_dt is not None else float(dt)
+        self.t_start = float(t_start)
+        ratio = self.periodic_dt / self.dt
+        self.steps_per_periodic = int(round(ratio))
+        if abs(ratio - self.steps_per_periodic) > 1e-9 or self.steps_per_periodic < 1:
+            raise ValueError(
+                f"periodic_dt ({self.periodic_dt}) must be a positive integer "
+                f"multiple of dt ({self.dt})")
+        self._integ = _INTEGRATORS[algorithm]
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, *args, **kwargs):
+        """Build the initial SimState from the system's initializer. The
+        system may define `init(*args) -> (x, u, s)`; otherwise the
+        defaults from init_x/init_u/init_s are used."""
+        if args or kwargs or hasattr(self.system, "init"):
+            x, u, s = self.system.init(*args, **kwargs)
+        else:
+            x, u, s = (self.system.init_x(), self.system.init_u(),
+                       self.system.init_s())
+        t = jnp.asarray(self.t_start)
+        return SimState(t=t, i=jnp.asarray(0, dtype=jnp.int32), x=x, u=u, s=s)
+
+    # ------------------------------------------------------------------ step
+
+    def step(self, state: SimState, ctx=()) -> SimState:
+        """Advance one dt: RK4 → f_step → (masked) f_periodic."""
+        sys = self.system
+        dt = self.dt
+        t, i, x, u, s = state
+
+        if x is not None:
+            x = self._integ(sys.f_ode, x, u, s, t, dt, ctx)
+        t_new = self.t_start + (i + 1) * dt  # exact boundary hits, no drift
+        i_new = i + 1
+
+        x, s = sys.f_step(x, u, s, t_new, *ctx)
+
+        spp = self.steps_per_periodic
+        fires = (i_new % spp) == 0
+        k = i_new // spp - 1  # the reference's `_n` at firing time
+        new_xus = sys.f_periodic(x, u, s, t_new, k, *ctx)
+        x, u, s = tree_where(fires, new_xus, (x, u, s))
+
+        return SimState(t=t_new, i=i_new, x=x, u=u, s=s)
+
+    def output(self, state: SimState, ctx=()):
+        """Compute the model output y at the current state."""
+        _, y = self.system.f_ode(state.x, state.u, state.s, state.t, *ctx)
+        return y
+
+    # ------------------------------------------------------------------- run
+
+    def run(self, state: SimState, t_end, ctx=(), save_every=1, save_y=True,
+            t0=None):
+        """Scan the step function until t_end. Returns (final_state,
+        TimeSeries) where the TimeSeries holds every `save_every`-th step's
+        (t, y) — the reference's `saveat` thinning (`sim.jl:211`).
+        With save_y=False only t is logged (cheapest; no extra f_ode).
+
+        The step count must be static: when calling `run` inside jit (where
+        `state.t` is traced), pass the known start time as `t0`."""
+        if t0 is None:
+            try:
+                t0 = float(state.t)
+            except Exception as exc:
+                raise ValueError(
+                    "run() inside jit needs an explicit static t0 (state.t "
+                    "is traced)") from exc
+        n_steps = int(round((float(t_end) - t0) / self.dt))
+        n_blocks, rem = divmod(n_steps, save_every)
+
+        def inner(st, _):
+            return self.step(st, ctx), None
+
+        def body(st, _):
+            st, _ = jax.lax.scan(inner, st, None, length=save_every)
+            y = self.output(st, ctx) if save_y else None
+            return st, (st.t, y)
+
+        state, (ts, ys) = jax.lax.scan(body, state, None, length=n_blocks)
+        for _ in range(rem):
+            state = self.step(state, ctx)
+        return state, TimeSeries(ts, ys)
+
+
+@jax.tree_util.register_pytree_node_class
+class TimeSeries:
+    """Scan-stacked log: `t` is (n,), `y` a pytree with leading dim n.
+    Property-path access recurses into the y pytree (the reference's
+    recursive `TimeSeries` getproperty, `sim.jl:644-704`): `ts.kin.v_eb_n`
+    returns a TimeSeries over that subtree."""
+
+    def __init__(self, t, y):
+        self.t = t
+        self.y = y
+
+    def tree_flatten(self):
+        return (self.t, self.y), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def __getattr__(self, name):
+        y = object.__getattribute__(self, "y")
+        if isinstance(y, dict):
+            return TimeSeries(self.t, y[name])
+        return TimeSeries(self.t, getattr(y, name))
+
+    def __getitem__(self, key):
+        return TimeSeries(self.t, self.y[key])
+
+    def __len__(self):
+        return len(self.t)

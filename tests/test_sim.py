@@ -1,0 +1,217 @@
+"""Engine semantics tests, mirroring the reference's `test_sim.jl` fixtures:
+periodic firing counts under different dt/periodic_dt combos, hybrid
+continuous+discrete interleave, and nested Subsampled multirate trees."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flightjax.core.modeling import Component, Subsampled, periodic_gate
+from flightjax.core.sim import Simulation, SimState
+
+
+class Periodic(Component):
+    """x += 1 on every periodic firing; no continuous dynamics."""
+
+    def init_x(self):
+        return jnp.zeros(1)
+
+    def f_ode(self, x, u, s, t):
+        return jnp.zeros(1), x[0]
+
+    def f_periodic(self, x, u, s, t, k):
+        return x + 1.0, u, s
+
+
+class FirstOrder(Component):
+    """ẋ = (u - x)/τ plus a periodic x += 0.1 impulse (reference
+    `test_sim.jl:84-105`)."""
+
+    def __init__(self, tau=1.0):
+        self.tau = tau
+
+    def init_x(self):
+        return jnp.zeros(1)
+
+    def init_u(self):
+        return jnp.asarray(0.0)
+
+    def f_ode(self, x, u, s, t):
+        return (u - x) / self.tau, x[0]
+
+    def f_periodic(self, x, u, s, t, k):
+        return x + 0.1, u, s
+
+
+def test_periodic_counts():
+    # dt = 0.02, periodic Δt = 1.0 → 50 steps per firing; no firing at t0
+    sim = Simulation(Periodic(), dt=0.02, periodic_dt=1.0)
+    st = sim.init()
+    st, ts = sim.run(st, t_end=2.0)
+    assert float(st.t) == pytest.approx(2.0)
+    np.testing.assert_allclose(st.x, [2.0])  # fired at t=1 and t=2
+
+    # firing exactly at the last step boundary counts
+    sim = Simulation(Periodic(), dt=1.0, periodic_dt=1.0)
+    st, _ = sim.run(sim.init(), t_end=2.0)
+    np.testing.assert_allclose(st.x, [2.0])
+
+    # partial interval: t_end = 1.5 → only one firing
+    sim = Simulation(Periodic(), dt=0.5, periodic_dt=1.0)
+    st, _ = sim.run(sim.init(), t_end=1.5)
+    np.testing.assert_allclose(st.x, [1.0])
+
+
+def test_periodic_dt_must_divide():
+    with pytest.raises(ValueError):
+        Simulation(Periodic(), dt=0.4, periodic_dt=1.0)
+
+
+def test_first_order_continuous():
+    # With u = 1 and no periodic impulses (make Δt huge relative to horizon):
+    # x(t) = 1 - exp(-t)
+    class NoImpulse(FirstOrder):
+        def f_periodic(self, x, u, s, t, k):
+            return x, u, s
+
+    sim = Simulation(NoImpulse(), dt=0.01)
+    st = sim.init()
+    st = st._replace(u=jnp.asarray(1.0))
+    st, ts = sim.run(st, t_end=2.0)
+    np.testing.assert_allclose(st.x, [1 - np.exp(-2.0)], atol=1e-9)  # RK4 accuracy
+    # log shape: 200 saved points, y is scalar per step
+    assert ts.t.shape == (200,)
+    assert ts.y.shape == (200,)
+    np.testing.assert_allclose(ts.y[-1], st.x[0], atol=1e-12)
+
+
+def test_hybrid_impulse():
+    # u=0, x0=0: x decays toward 0 but gets +0.1 kicks at t=1,2,...
+    sim = Simulation(FirstOrder(), dt=0.02, periodic_dt=1.0)
+    st, _ = sim.run(sim.init(), t_end=1.0)
+    # at t=1⁻ x=0, then +0.1 kick applied after the step
+    np.testing.assert_allclose(st.x, [0.1], atol=1e-12)
+    st2, _ = sim.run(st, t_end=2.0)
+    # decays for 1 s then kicks again
+    np.testing.assert_allclose(st2.x, [0.1 * np.exp(-1.0) + 0.1], atol=1e-6)
+
+
+class Node(Component):
+    """a: every firing; b: every 2nd firing (reference `test_sim.jl:109-115`)."""
+
+    def __init__(self, n_root=1):
+        self.a = FirstOrder()
+        self.b = Subsampled(FirstOrder(), 2)
+        self.n_root = n_root  # product of Subsampled multipliers above us
+
+    def init_x(self):
+        return {"a": self.a.init_x(), "b": self.b.init_x()}
+
+    def init_u(self):
+        return {"a": self.a.init_u(), "b": self.b.init_u()}
+
+    def f_ode(self, x, u, s, t):
+        xda, ya = self.a.f_ode(x["a"], u["a"], None, t)
+        xdb, yb = self.b.f_ode(x["b"], u["b"], None, t)
+        return {"a": xda, "b": xdb}, {"a": ya, "b": yb}
+
+    def f_periodic(self, x, u, s, t, k):
+        xa, ua, _ = self.a.f_periodic(x["a"], u["a"], None, t, k)
+        xb, ub, _ = periodic_gate(
+            k, self.n_root * self.b.K,
+            lambda xus: self.b.f_periodic(*xus, t, k), (x["b"], u["b"], None))
+        return {"a": xa, "b": xb}, {"a": ua, "b": ub}, s
+
+
+class Root(Component):
+    """a: every firing; b: every 2nd; c: every 3rd (and c.b every 6th) —
+    reference `test_sim.jl:119-125`."""
+
+    def __init__(self):
+        self.a = FirstOrder()
+        self.b = Subsampled(FirstOrder(), 2)
+        self.c = Subsampled(Node(n_root=3), 3)
+
+    def init_x(self):
+        return {"a": self.a.init_x(), "b": self.b.init_x(), "c": self.c.init_x()}
+
+    def init_u(self):
+        return {"a": self.a.init_u(), "b": self.b.init_u(), "c": self.c.init_u()}
+
+    def f_ode(self, x, u, s, t):
+        xda, ya = self.a.f_ode(x["a"], u["a"], None, t)
+        xdb, yb = self.b.f_ode(x["b"], u["b"], None, t)
+        xdc, yc = self.c.f_ode(x["c"], u["c"], None, t)
+        return {"a": xda, "b": xdb, "c": xdc}, {"a": ya, "b": yb, "c": yc}
+
+    def f_periodic(self, x, u, s, t, k):
+        xa, ua, _ = self.a.f_periodic(x["a"], u["a"], None, t, k)
+        xb, ub, _ = periodic_gate(
+            k, self.b.K, lambda xus: self.b.f_periodic(*xus, t, k),
+            (x["b"], u["b"], None))
+        (xc, uc, _) = periodic_gate(
+            k, self.c.K, lambda xus: self.c.f_periodic(*xus, t, k),
+            (x["c"], u["c"], None))
+        return ({"a": xa, "b": xb, "c": xc}, {"a": ua, "b": ub, "c": uc}, s)
+
+
+def test_multirate_nested():
+    # Δt = 1, run 12 s ⇒ 12 root firings with k = 0..11.
+    # a fires all 12; b fires at k=0,2,..,10 → 6; c at k=0,3,6,9 → 4;
+    # c.a same as c → 4; c.b at k % 6 == 0 → k=0,6 → 2.
+    sim = Simulation(Root(), dt=0.25, periodic_dt=1.0)
+    st, _ = sim.run(sim.init(), t_end=12.0)
+    # count impulses: each firing adds ~0.1 then decays; instead of decay
+    # arithmetic, disable the continuous dynamics by zeroing tau ... simpler:
+    # count via a pure-impulse variant
+    class Counting(FirstOrder):
+        def f_ode(self, x, u, s, t):
+            return jnp.zeros(1), x[0]
+
+    root = Root()
+    root.a = Counting()
+    root.b = Subsampled(Counting(), 2)
+    node = Node(n_root=3)
+    node.a = Counting()
+    node.b = Subsampled(Counting(), 2)
+    root.c = Subsampled(node, 3)
+
+    sim = Simulation(root, dt=0.25, periodic_dt=1.0)
+    st, _ = sim.run(sim.init(), t_end=12.0)
+    np.testing.assert_allclose(st.x["a"], [1.2], atol=1e-12)
+    np.testing.assert_allclose(st.x["b"], [0.6], atol=1e-12)
+    np.testing.assert_allclose(st.x["c"]["a"], [0.4], atol=1e-12)
+    np.testing.assert_allclose(st.x["c"]["b"], [0.2], atol=1e-12)
+
+
+def test_vmap_fleet():
+    """Whole fleets batch by vmapping the step function over stacked states."""
+    sim = Simulation(FirstOrder(), dt=0.02, periodic_dt=1.0)
+    st = sim.init()
+    B = 16
+    batched = jax.tree.map(lambda v: jnp.broadcast_to(v, (B,) + v.shape), st)
+    batched = batched._replace(u=jnp.linspace(0.0, 1.0, B))
+
+    step = jax.jit(jax.vmap(lambda s: sim.step(s)))
+    for _ in range(50):
+        batched = step(batched)
+    # each lane approaches its own u: x(1) = u*(1-e^-1) with kick at t=1
+    expect = np.linspace(0, 1, B) * (1 - np.exp(-1.0)) + 0.1
+    np.testing.assert_allclose(np.asarray(batched.x)[:, 0], expect, atol=1e-6)
+
+
+def test_jit_stability():
+    """step jits once and is retraced zero times across iterations."""
+    sim = Simulation(FirstOrder(), dt=0.02, periodic_dt=0.1)
+    traced = []
+
+    @jax.jit
+    def step(s):
+        traced.append(1)
+        return sim.step(s)
+
+    st = sim.init()
+    for _ in range(10):
+        st = step(st)
+    assert len(traced) == 1
