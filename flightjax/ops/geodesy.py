@@ -114,11 +114,15 @@ def egm96_lookup():
     global _egm96_lookup
     if _egm96_lookup is None:
         import os
+        import jax
         path = os.path.join(os.path.dirname(__file__), "..", "data", "egm96_ww15mgh.npz")
         data = np.load(path)["geoid_height"].astype(np.float64)
         lat_ax = np.linspace(-np.pi / 2, np.pi / 2, data.shape[0])
         lon_ax = np.linspace(0.0, 2 * np.pi, data.shape[1])
-        _egm96_lookup = Lookup((lat_ax, lon_ax), data, extrap="line")
+        # must materialize concrete arrays even if first touched inside a jit
+        # trace, or the cached Lookup would capture leaked tracers
+        with jax.ensure_compile_time_eval():
+            _egm96_lookup = Lookup((lat_ax, lon_ax), data, extrap="line")
     return _egm96_lookup
 
 

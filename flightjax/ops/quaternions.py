@@ -88,6 +88,6 @@ def qomega(q_ab, qdot_ab):
     return 2.0 * qmul(qconj(q_ab), qdot_ab)[..., 1:4]
 
 
-def qidentity(dtype=jnp.float64, batch=()):
+def qidentity(dtype=None, batch=()):
     q = jnp.zeros(batch + (4,), dtype=dtype).at[..., 0].set(1.0)
     return q
