@@ -99,6 +99,10 @@ class Simulation:
                 f"periodic_dt ({self.periodic_dt}) must be a positive integer "
                 f"multiple of dt ({self.dt})")
         self._integ = _INTEGRATORS[algorithm]
+        # publish the effective sampling period on the system (the functional
+        # analog of the reference's `mdl.Δt`, `modeling.jl:181-182`), so
+        # discrete sub-updates can read their step size
+        self.system.periodic_dt = self.periodic_dt
 
     # ------------------------------------------------------------------ init
 
