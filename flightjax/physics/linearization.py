@@ -60,15 +60,20 @@ class LinearizedSS:
 
 def linearize(f, h, x0, u0, x_labels=None, u_labels=None, y_labels=None):
     """Linearize ẋ = f(x, u), y = h(x, u) about (x0, u0) with exact autodiff
-    Jacobians. f/h take and return flat jnp arrays."""
-    x0 = jnp.asarray(x0, dtype=jnp.float64)
-    u0 = jnp.asarray(u0, dtype=jnp.float64)
-    A = jax.jacobian(f, argnums=0)(x0, u0)
-    B = jax.jacobian(f, argnums=1)(x0, u0)
-    C = jax.jacobian(h, argnums=0)(x0, u0)
-    D = jax.jacobian(h, argnums=1)(x0, u0)
-    x_dot0 = f(x0, u0)
-    y0 = h(x0, u0)
+    Jacobians. f/h take and return flat jnp arrays.
+
+    Runs pinned to the host CPU backend: linearization is offline design-time
+    work made of many tiny eager dispatches, which are pathologically slow
+    over a remote-accelerator tunnel (and need no accelerator)."""
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        x0 = jnp.asarray(x0)
+        u0 = jnp.asarray(u0)
+        A = jax.jacobian(f, argnums=0)(x0, u0)
+        B = jax.jacobian(f, argnums=1)(x0, u0)
+        C = jax.jacobian(h, argnums=0)(x0, u0)
+        D = jax.jacobian(h, argnums=1)(x0, u0)
+        x_dot0 = f(x0, u0)
+        y0 = h(x0, u0)
     n_x, n_u, n_y = len(x0), len(u0), len(y0)
     return LinearizedSS(
         x0=np.asarray(x0), u0=np.asarray(u0), y0=np.asarray(y0),
