@@ -1,0 +1,328 @@
+"""Landing gear: strut geometry + contact friction, branch-free.
+
+Mirrors `/root/reference/lib/FlightPhysics/src/landinggear.jl`:
+- `SimpleDamper` spring + asymmetric damper (`landinggear.jl:138-153`)
+- `FrictionCoefficients` static->dynamic velocity blending (`:157-193`)
+- `Strut`: ground-intersection weight-on-wheel test from the natural-length
+  wheel endpoint vs terrain ellipsoidal height (`:228-255`), contact-frame
+  construction from steering azimuth + terrain normal (`:286-307`), damper
+  elongation rate cancelling the contact-normal velocity (`:309-315`)
+- `Contact`: rolling/skidding friction, slip-angle-dependent lateral mu,
+  braking interpolation, friction constraint via a PI regulator nulling the
+  contact-point velocity (`:411-476`); regulator reset when airborne
+  (`:479-483`)
+- crash detection thresholds (`:331-347`) surface as a `crashed` flag for
+  the vehicle's termination mask instead of a thrown exception.
+
+The reference's early-return on `wow == false` (`:255-258`) becomes a
+`jnp.where` mask selecting the documented wow-false defaults; every
+intermediate is NaN-guarded so the untaken path stays finite (and so
+`jax.jacobian` through an airborne vehicle stays clean).
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from flightjax.core.modeling import Component
+from flightjax.ops.quaternions import qmul, qconj, qrot, qrot_inv
+from flightjax.ops import geodesy as geo
+from flightjax.ops import attitude as att
+from flightjax.physics import control as C
+from flightjax.physics.dynamics import Wrench, FrameTransform, translate_wrench
+from flightjax.physics.terrain import TerrainData
+from flightjax.physics.kinematics import KinData
+
+E1 = np.array([1.0, 0.0, 0.0])
+E3 = np.array([0.0, 0.0, 1.0])
+
+# crash thresholds (`landinggear.jl:336-343`)
+ALPHA_TS_MAX = np.deg2rad(60.0)
+XI_DOT_MAX = 10.0
+
+
+class SimpleDamper(NamedTuple):
+    k_s: float = 25000.0
+    k_d_ext: float = 1000.0
+    k_d_cmp: float = 1000.0
+    F_max: float = 50000.0
+
+
+def damper_force(d: SimpleDamper, xi, xi_dot):
+    """Axial damper force along strut z (`landinggear.jl:149-153`)."""
+    k_d = jnp.where(xi_dot > 0, d.k_d_ext, d.k_d_cmp)
+    return -(d.k_s * xi + k_d * xi_dot)
+
+
+# ------------------------------------------------------------------ friction
+
+def _mu_blend(mu_s, mu_d, v_s, v_d, v):
+    """Static->dynamic friction blend over contact speed (`:170-174`)."""
+    k_sd = jnp.clip((v - v_s) / (v_d - v_s), 0.0, 1.0)
+    return k_sd * mu_d + (1.0 - k_sd) * mu_s
+
+
+# rolling coefficients are surface-independent (`:180-181`)
+_ROLL = (0.03, 0.02, 0.005, 0.01)
+# skidding coefficients per surface code {dry, wet, icy} (`:183-193`)
+_SKID_MU_S = np.array([0.75, 0.25, 0.075])
+_SKID_MU_D = np.array([0.25, 0.15, 0.025])
+_SKID_V = (0.005, 0.01)
+
+
+def mu_roll(v):
+    mu_s, mu_d, v_s, v_d = _ROLL
+    return _mu_blend(mu_s, mu_d, v_s, v_d, v)
+
+
+def mu_skid(surface, v):
+    mu_s = jnp.asarray(_SKID_MU_S)[surface]
+    mu_d = jnp.asarray(_SKID_MU_D)[surface]
+    return _mu_blend(mu_s, mu_d, *_SKID_V, v)
+
+
+# --------------------------------------------------------------------- strut
+
+class StrutY(NamedTuple):
+    """Strut snapshot (`landinggear.jl:210-222`); defaults are the wow=false
+    values."""
+    delta_h: jnp.ndarray
+    wow: jnp.ndarray
+    xi: jnp.ndarray
+    xi_dot: jnp.ndarray
+    F_dmp_zs: jnp.ndarray
+    psi_sw: jnp.ndarray
+    alpha_ts: jnp.ndarray
+    r_sc_s: jnp.ndarray     # contact frame origin wrt strut frame
+    q_sc: jnp.ndarray
+    r_bc_b: jnp.ndarray     # contact frame origin wrt body frame
+    q_bc: jnp.ndarray
+    v_ec_xy: jnp.ndarray
+    trn: TerrainData
+
+
+class ContactY(NamedTuple):
+    mu_roll: jnp.ndarray
+    mu_skid: jnp.ndarray
+    kappa_br: jnp.ndarray
+    psi_cv: jnp.ndarray
+    mu_max: jnp.ndarray
+    mu_eff: jnp.ndarray
+    f_c: jnp.ndarray
+    F_c: jnp.ndarray
+    wr_b: Wrench
+    frc: C.PIOutput
+
+
+class GearUnitY(NamedTuple):
+    strut: StrutY
+    contact: ContactY
+    crashed: jnp.ndarray
+
+
+def _safe_norm(v, eps=1e-12):
+    return jnp.sqrt(jnp.sum(v * v) + eps)
+
+
+def _safe_atan2(y, x, eps=1e-9):
+    """atan2 with NaN-free gradient at the origin (double-where trick)."""
+    near_zero = jnp.logical_and(jnp.abs(x) < eps, jnp.abs(y) < eps)
+    x_safe = jnp.where(near_zero, 1.0, x)
+    y_safe = jnp.where(near_zero, 0.0, y)
+    return jnp.where(near_zero, 0.0, jnp.arctan2(y_safe, x_safe))
+
+
+class LandingGearUnit(Component):
+    """One gear leg = steering + braking + strut + contact
+    (`landinggear.jl:513-552`).
+
+    steering: None (no steering) or dict(psi_max=...) for DirectSteering;
+    braking: None (no braking) or dict(eta_br=...) for DirectBraking.
+    The unit's u always carries {steering, braking} scalars; unused ones are
+    simply ignored (keeps the fleet pytree homogeneous across legs).
+    """
+
+    def __init__(self, r_bs, l_0=0.0, damper: SimpleDamper = SimpleDamper(),
+                 steering=None, braking=None, q_bs=None):
+        self.r_bs = np.asarray(r_bs, dtype=float)
+        self.q_bs = (np.array([1.0, 0, 0, 0]) if q_bs is None
+                     else np.asarray(q_bs, dtype=float))
+        self.l_0 = float(l_0)
+        self.damper = damper
+        self.steering = steering  # None | {"psi_max": rad}
+        self.braking = braking    # None | {"eta_br": float}
+        # friction constraint compensator gains (`landinggear.jl:401-409`)
+        self.frc = C.pi_params(n=2, k_p=5.0, k_i=400.0, k_l=0.2,
+                               bound_lo=-1.0, bound_hi=1.0)
+
+    def init_x(self):
+        return {"frc": jnp.zeros(2)}
+
+    def init_u(self):
+        return {"steering": jnp.asarray(0.0), "braking": jnp.asarray(0.0)}
+
+    # ------------------------------------------------------------------ strut
+
+    def strut_y(self, u, kin: KinData, trn: TerrainData) -> StrutY:
+        """Full strut geometry (`landinggear.jl:228-328`), mask-selected
+        against the wow=false defaults."""
+        q_bs, r_bs_b, l_0 = jnp.asarray(self.q_bs), jnp.asarray(self.r_bs), self.l_0
+        q_eb, q_nb, q_en = kin.q_eb, kin.q_nb, kin.q_en
+        r_eb_e, v_eb_b, omega_eb_b = kin.r_eb_e, kin.v_eb_b, kin.omega_eb_b
+
+        # natural-length wheel endpoint vs terrain height -> wow
+        q_es = qmul(q_eb, q_bs)
+        ks_e = qrot(q_es, E3)
+        r_bs_e = qrot(q_eb, r_bs_b)
+        r_ew0_e = r_eb_e + r_bs_e + l_0 * ks_e
+        n_e_w0, h_e_w0 = geo.geographic_from_cartesian(r_ew0_e)
+        h_e_trn = geo.ellip_from_orth(trn.elevation, n_e_w0)
+        delta_h = h_e_w0 - h_e_trn
+        wow = delta_h <= 0
+
+        # terrain point position
+        r_et_e = geo.cartesian_from_geographic(n_e_w0, h_e_trn)
+        r_st_e = r_et_e - (r_eb_e + r_bs_e)
+
+        ut_n = trn.normal
+        ut_e = qrot(q_en, ut_n)
+        ut_ks = jnp.dot(ut_e, ks_e)
+        # guard: |ut_ks| ~ 0 only for a near-horizontal strut, masked by wow
+        ut_ks_safe = jnp.where(jnp.abs(ut_ks) < 1e-6,
+                               jnp.where(ut_ks < 0, -1e-6, 1e-6), ut_ks)
+        l = jnp.dot(ut_e, r_st_e) / ut_ks_safe
+        alpha_ts = jnp.arccos(jnp.clip(ut_ks, -1.0, 1.0))
+
+        xi = jnp.minimum(0.0, l - l_0)  # numerical-noise clamp (`:274`)
+
+        r_sc_s = E3 * (l_0 + xi)
+        r_sc_b = qrot(q_bs, r_sc_s)
+        r_bc_b = r_sc_b + r_bs_b
+
+        # contact point velocity from rigid-body motion
+        v_ec_b_body = v_eb_b + jnp.cross(omega_eb_b, r_bc_b)
+        v_ec_s_body = qrot_inv(q_bs, v_ec_b_body)
+        psi_v = _safe_atan2(v_ec_s_body[1], v_ec_s_body[0])
+
+        # steering (`:68-72`): engaged DirectSteering or castoring azimuth
+        if self.steering is None:
+            psi_sw = jnp.asarray(0.0)
+        else:
+            psi_sw = jnp.clip(u["steering"], -1.0, 1.0) * self.steering["psi_max"]
+
+        q_sw = att.rot_z(psi_sw)
+        q_ns = qmul(q_nb, q_bs)
+        q_nw = qmul(q_ns, q_sw)
+
+        # contact frame axes from wheel x projected on terrain plane (`:292-299`)
+        kc_n = ut_n
+        iw_n = qrot(q_nw, E1)
+        iw_n_trn = iw_n - jnp.dot(iw_n, kc_n) * kc_n
+        ic_n = iw_n_trn / _safe_norm(iw_n_trn)
+        jc_n = jnp.cross(kc_n, ic_n)
+        R_nc = jnp.stack([ic_n, jc_n, kc_n], axis=-1)
+        q_nc = att.matrix_to_quat(R_nc)
+        q_sc = qmul(qconj(q_ns), q_nc)
+        q_bc = qmul(q_bs, q_sc)
+
+        # damper elongation rate cancels contact-normal velocity (`:309-315`)
+        v_ec_c_body = qrot_inv(q_bc, v_ec_b_body)
+        ks_c = qrot_inv(q_sc, E3)
+        ks_c3 = jnp.where(jnp.abs(ks_c[2]) < 1e-6, 1e-6, ks_c[2])
+        xi_dot = -v_ec_c_body[2] / ks_c3
+
+        F_dmp_zs = damper_force(self.damper, xi, xi_dot)
+
+        v_ec_c = v_ec_c_body + ks_c * xi_dot
+        v_ec_xy = v_ec_c[:2]
+
+        # mask everything but (delta_h, wow) with the wow=false defaults
+        z, z3 = jnp.asarray(0.0), jnp.zeros(3)
+        sel = lambda a, b: jnp.where(wow, a, b)
+        return StrutY(
+            delta_h=delta_h, wow=wow,
+            xi=sel(xi, z), xi_dot=sel(xi_dot, z),
+            F_dmp_zs=sel(F_dmp_zs, z), psi_sw=sel(psi_sw, z),
+            alpha_ts=sel(alpha_ts, z),
+            r_sc_s=sel(r_sc_s, z3), q_sc=sel(q_sc, jnp.asarray([1.0, 0, 0, 0])),
+            r_bc_b=sel(r_bc_b, z3), q_bc=sel(q_bc, jnp.asarray([1.0, 0, 0, 0])),
+            v_ec_xy=sel(v_ec_xy, jnp.zeros(2)), trn=trn)
+
+    # ---------------------------------------------------------------- contact
+
+    def contact_y(self, x, u, strut: StrutY, frc_out: C.PIOutput) -> ContactY:
+        """Contact force model (`landinggear.jl:411-476`)."""
+        wow = strut.wow
+        v_ec_xy = strut.v_ec_xy
+        norm_v = _safe_norm(v_ec_xy)
+
+        m_roll = mu_roll(norm_v)
+        m_skid = mu_skid(strut.trn.surface, norm_v)
+
+        if self.braking is None:
+            kappa_br = jnp.asarray(0.0)
+        else:
+            kappa_br = jnp.clip(u["braking"], 0.0, 1.0) * self.braking["eta_br"]
+        mu_x = m_roll + (m_skid - m_roll) * kappa_br
+
+        # tire slip angle with near-zero-velocity chattering guard (`:436-440`)
+        small_v = norm_v < 1e-3
+        psi_cv = jnp.where(
+            small_v, jnp.pi / 2,
+            jnp.arctan2(jnp.where(small_v, 0.0, v_ec_xy[1]),
+                        jnp.where(small_v, 1.0, v_ec_xy[0])))
+
+        psi_skid = jnp.deg2rad(10.0)
+        psi_abs = jnp.abs(psi_cv)
+        mu_y = jnp.where(
+            psi_abs < psi_skid, m_skid * psi_abs / psi_skid,
+            jnp.where(psi_abs > jnp.pi - psi_skid,
+                      m_skid * (1.0 - (psi_skid + psi_abs - jnp.pi) / psi_skid),
+                      m_skid))
+
+        mu_max = jnp.stack([mu_x, mu_y])
+        mu_max = mu_max * jnp.minimum(1.0, m_skid / _safe_norm(mu_max))
+        mu_eff = frc_out.output * mu_max
+
+        f_c = jnp.stack([mu_eff[0], mu_eff[1], -jnp.ones_like(mu_eff[0])])
+        f_s = qrot(strut.q_sc, f_c)
+        f_s3 = jnp.where(jnp.abs(f_s[2]) < 1e-6, -1e-6, f_s[2])
+        N = jnp.maximum(0.0, -strut.F_dmp_zs / f_s3)
+        F_c = f_c * N
+
+        wr_c = Wrench(F=F_c, tau=jnp.zeros(3))
+        t_bc = FrameTransform(r=strut.r_bc_b, q=strut.q_bc)
+        wr_b = translate_wrench(t_bc, wr_c)
+
+        # wow=false defaults (`:421-423`)
+        z = jnp.asarray(0.0)
+        sel = lambda a, b: jnp.where(wow, a, b)
+        zero_wr = Wrench(F=jnp.zeros(3), tau=jnp.zeros(3))
+        return ContactY(
+            mu_roll=sel(m_roll, z), mu_skid=sel(m_skid, z),
+            kappa_br=sel(kappa_br, z), psi_cv=sel(psi_cv, z),
+            mu_max=sel(mu_max, jnp.zeros(2)), mu_eff=sel(mu_eff, jnp.zeros(2)),
+            f_c=sel(f_c, jnp.zeros(3)), F_c=sel(F_c, jnp.zeros(3)),
+            wr_b=Wrench(F=sel(wr_b.F, zero_wr.F), tau=sel(wr_b.tau, zero_wr.tau)),
+            frc=frc_out)
+
+    # ----------------------------------------------------------------- update
+
+    def f_ode(self, x, u, s, t, kin: KinData, trn: TerrainData):
+        strut = self.strut_y(u, kin, trn)
+        # friction regulator input: -v_ec_xy (zero when airborne) (`:418`)
+        frc_dot, frc_out = C.pi_ode(self.frc, x["frc"], -strut.v_ec_xy)
+        contact = self.contact_y(x, u, strut, frc_out)
+        crashed = jnp.logical_or(
+            jnp.logical_and(strut.wow, strut.alpha_ts > ALPHA_TS_MAX),
+            -strut.xi_dot > XI_DOT_MAX)
+        y = GearUnitY(strut=strut, contact=contact, crashed=crashed)
+        return {"frc": frc_dot}, y
+
+    def f_step(self, x, u, s, t, kin: KinData, trn: TerrainData):
+        """Reset the friction regulator state when airborne
+        (`landinggear.jl:479-483`)."""
+        strut = self.strut_y(u, kin, trn)
+        frc = jnp.where(strut.wow, x["frc"], jnp.zeros(2))
+        return {"frc": frc}, s
