@@ -1,0 +1,292 @@
+"""Vehicle / Aircraft / World scaffolding + trim machinery.
+
+Mirrors `/root/reference/lib/FlightPhysics/src/aircraftbase.jl` and
+`world.jl`:
+- `Vehicle` = {systems, kinematics, dynamics} with the update order
+  kinematics.u <- dynamics.x -> f_ode(kin) -> KinData/AirData ->
+  f_ode(systems) -> gather mp/wr/hr -> f_ode(dynamics)
+  (`aircraftbase.jl:142-170`)
+- `Aircraft` = {vehicle, avionics}: avionics update first, `assign` maps
+  avionics outputs onto systems inputs, then vehicle update
+  (`aircraftbase.jl:221-252`)
+- `SimpleWorld` = {aircraft, atmosphere, terrain} (`world.jl:26-57`)
+- trim pitch constraint `theta_constraint` (`aircraftbase.jl:110-118`)
+- trim solver: the reference minimizes the squared dynamics residual with
+  NLopt BOBYQA (`c172.jl:883-942`); here the same stationary point is found
+  by a bounded damped Gauss-Newton on the 7-var residual with exact
+  `jax.jacfwd` Jacobians — jittable and vmappable over batches of trim
+  conditions.
+
+Systems protocol (the L2->L3 interface, `dynamics.jl:328-399`): a systems
+component's `f_ode(x, u, s, t, kin, air, trn_fn)` returns `(x_dot, y)` where
+`y.mp_b / y.wr_b / y.hr_b` are the aggregated mass properties, external
+wrench and internal angular momentum — the functional replacement for the
+reference's @generated recursive summation.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from flightjax.core.modeling import Component
+from flightjax.physics.atmosphere import SimpleAtmosphere, air_data, AirData
+from flightjax.physics.dynamics import VehicleDynamics, DynamicsU, DynamicsData
+from flightjax.physics.kinematics import KinData, vel_input
+from flightjax.physics.terrain import HorizontalTerrain
+
+
+def theta_constraint(v_wb_b, gamma_wb_n, phi_nb):
+    """Pitch angle from wind-relative velocity, flight-path angle and bank
+    (`aircraftbase.jl:110-118`)."""
+    TAS = jnp.linalg.norm(v_wb_b, axis=-1)
+    a = v_wb_b[..., 0] / TAS
+    b = (v_wb_b[..., 1] * jnp.sin(phi_nb)
+         + v_wb_b[..., 2] * jnp.cos(phi_nb)) / TAS
+    sg = jnp.sin(gamma_wb_n)
+    return jnp.arctan((a * b + sg * jnp.sqrt(a**2 + b**2 - sg**2))
+                      / (a**2 - sg**2))
+
+
+class VehicleY(NamedTuple):
+    systems: "object"
+    kinematics: KinData
+    dynamics: DynamicsData
+    airflow: AirData
+
+
+class Vehicle(Component):
+    """Systems + kinematics + dynamics composite (`aircraftbase.jl:49-195`)."""
+
+    def __init__(self, systems, kinematics,
+                 atmosphere: SimpleAtmosphere = None,
+                 terrain: HorizontalTerrain = None):
+        self.systems = systems
+        self.kinematics = kinematics
+        self.dynamics = VehicleDynamics()
+        self.atmosphere = atmosphere if atmosphere is not None else SimpleAtmosphere()
+        self.terrain = terrain if terrain is not None else HorizontalTerrain()
+
+    # x/u/s layout: atmosphere and terrain inputs ride in the vehicle u so a
+    # fleet can see per-lane winds/surfaces
+    def init_x(self, kin_init=None, **sys_kw):
+        return {"kinematics": self.kinematics.init_x(kin_init),
+                "dynamics": self.kinematics.init_u(kin_init),
+                "systems": self.systems.init_x(**sys_kw)}
+
+    def init_u(self):
+        return {"systems": self.systems.init_u(),
+                "atm": self.atmosphere.init_u(),
+                "trn": self.terrain.init_u()}
+
+    def init_s(self, **kw):
+        return {"systems": self.systems.init_s(**kw)}
+
+    def _context(self, x, u):
+        """KinData, AirData, terrain query fn at the current state."""
+        _, kin = self.kinematics.f_ode(x["kinematics"], x["dynamics"], None, 0.0)
+        atm_data = self.atmosphere.atmospheric_data(u["atm"], kin.n_e, kin.h_o)
+        air = air_data(atm_data, kin)
+        trn_fn = lambda n_e=None: self.terrain.terrain_data(u["trn"], n_e)
+        return kin, air, trn_fn
+
+    def f_ode(self, x, u, s, t):
+        """`aircraftbase.jl:142-170` update order."""
+        kin_dot, kin = self.kinematics.f_ode(x["kinematics"], x["dynamics"],
+                                             None, t)
+        atm_data = self.atmosphere.atmospheric_data(u["atm"], kin.n_e, kin.h_o)
+        air = air_data(atm_data, kin)
+        trn_fn = lambda n_e=None: self.terrain.terrain_data(u["trn"], n_e)
+
+        sys_dot, sys_y = self.systems.f_ode(x["systems"], u["systems"],
+                                            s["systems"], t, kin, air, trn_fn)
+
+        dyn_u = DynamicsU(mp_sum_b=sys_y.mp_b, wr_sum_b=sys_y.wr_b,
+                          ho_sum_b=sys_y.hr_b, q_eb=kin.q_eb,
+                          r_eb_e=kin.r_eb_e)
+        dyn_dot, dyn_y = self.dynamics.f_ode(x["dynamics"], dyn_u, None, t)
+
+        x_dot = {"kinematics": kin_dot, "dynamics": dyn_dot,
+                 "systems": sys_dot}
+        return x_dot, VehicleY(systems=sys_y, kinematics=kin,
+                               dynamics=dyn_y, airflow=air)
+
+    def f_step(self, x, u, s, t):
+        """Kinematics renorm + systems discrete impulse
+        (`aircraftbase.jl:172-181`)."""
+        kin_x, _ = self.kinematics.f_step(x["kinematics"], x["dynamics"],
+                                          None, t)
+        x = dict(x, kinematics=kin_x)
+        kin, air, trn_fn = self._context(x, u)
+        sys_x, sys_s = self.systems.f_step(x["systems"], u["systems"],
+                                           s["systems"], t, kin, air, trn_fn)
+        return dict(x, systems=sys_x), dict(s, systems=sys_s)
+
+
+class AircraftY(NamedTuple):
+    vehicle: VehicleY
+    avionics: "object"
+
+
+class Aircraft(Component):
+    """Vehicle + avionics (`aircraftbase.jl:216-252`). `avionics=None` is the
+    reference's NoAvionics.
+
+    Avionics protocol: `init_u()/init_s()`,
+    `f_periodic(s_av, u_av, vehicle_y, dt) -> (s_av, av_y)` and
+    `assign(u_systems, av_y) -> u_systems` mapping avionics commands onto
+    systems inputs (`aircraftbase.jl:201-210`).
+    """
+
+    def __init__(self, vehicle: Vehicle, avionics=None):
+        self.vehicle = vehicle
+        self.avionics = avionics
+
+    def init_x(self, **kw):
+        return {"vehicle": self.vehicle.init_x(**kw)}
+
+    def init_u(self):
+        u = {"vehicle": self.vehicle.init_u()}
+        if self.avionics is not None:
+            u["avionics"] = self.avionics.init_u()
+        return u
+
+    def init_s(self, **kw):
+        s = {"vehicle": self.vehicle.init_s(**kw)}
+        if self.avionics is not None:
+            s["avionics"] = self.avionics.init_s()
+        return s
+
+    def f_ode(self, x, u, s, t):
+        veh_dot, veh_y = self.vehicle.f_ode(x["vehicle"], u["vehicle"],
+                                            s["vehicle"], t)
+        av_y = None
+        if self.avionics is not None:
+            av_y = self.avionics.output(s["avionics"], u["avionics"], veh_y)
+        return {"vehicle": veh_dot}, AircraftY(vehicle=veh_y, avionics=av_y)
+
+    def f_step(self, x, u, s, t):
+        veh_x, veh_s = self.vehicle.f_step(x["vehicle"], u["vehicle"],
+                                           s["vehicle"], t)
+        return dict(x, vehicle=veh_x), dict(s, vehicle=veh_s)
+
+    # overwritten by Simulation
+    periodic_dt = 0.02
+
+    def f_periodic(self, x, u, s, t, k):
+        """Avionics periodic pass + assignment (`aircraftbase.jl:232-242`)."""
+        if self.avionics is None:
+            return x, u, s
+        _, veh_y = self.vehicle.f_ode(x["vehicle"], u["vehicle"],
+                                      s["vehicle"], t)
+        s_av, av_y = self.avionics.f_periodic(s["avionics"], u["avionics"],
+                                              veh_y, self.periodic_dt)
+        u_sys = self.avionics.assign(u["vehicle"]["systems"], av_y)
+        u = dict(u, vehicle=dict(u["vehicle"], systems=u_sys))
+        return x, u, dict(s, avionics=s_av)
+
+
+class SimpleWorld(Component):
+    """Aircraft in an atmosphere over terrain (`world.jl:18-57`). Thin alias:
+    atmosphere/terrain already live inside Vehicle (their inputs in
+    vehicle.u), so the world is the aircraft plus a termination latch."""
+
+    def __init__(self, aircraft: Aircraft):
+        self.aircraft = aircraft
+
+    def init(self, **kw):
+        x = self.aircraft.init_x(**kw)
+        u = self.aircraft.init_u()
+        s = self.aircraft.init_s()
+        s["terminated"] = jnp.asarray(False)
+        return x, u, s
+
+    def f_ode(self, x, u, s, t):
+        x_dot, y = self.aircraft.f_ode(x, u, s, t)
+        alive = 1.0 - s["terminated"]
+        x_dot = jax.tree.map(lambda v: v * alive, x_dot)
+        return x_dot, y
+
+    def f_step(self, x, u, s, t):
+        x, s2 = self.aircraft.f_step(x, u, s, t)
+        term = s["terminated"]
+        crashed = s2["vehicle"]["systems"].get("crashed")
+        if crashed is not None:
+            term = jnp.logical_or(term, crashed)
+        s2["terminated"] = term
+        return x, s2
+
+    @property
+    def periodic_dt(self):
+        return self.aircraft.periodic_dt
+
+    @periodic_dt.setter
+    def periodic_dt(self, v):
+        self.aircraft.periodic_dt = v
+
+    def f_periodic(self, x, u, s, t, k):
+        term = s["terminated"]
+        x, u, s = self.aircraft.f_periodic(x, u, s, t, k)
+        s["terminated"] = term
+        return x, u, s
+
+
+# ------------------------------------------------------------------- trim
+
+def trim_gauss_newton(residual_fn, x0, lb, ub, iters=30, batched=False):
+    """Bounded damped Gauss-Newton root solve of `residual_fn` (n-in/n-out or
+    m>=n), replacing the reference's NLopt BOBYQA cost minimization
+    (`c172.jl:920-932`) — same stationary point, exact Jacobians.
+
+    The iteration runs as a host-side Python loop over two small jitted
+    kernels (one residual+Jacobian eval, one vmapped line search over step
+    scales 1, 1/2, 1/4, 1/8) rather than one fused `lax.scan` — compiling a
+    single graph with six inlined vehicle evaluations took minutes of XLA
+    time for zero runtime benefit on this host-side design path.
+    With `batched=True`, x0 (and optionally lb/ub) carry a leading batch
+    axis and whole fleets of trim problems solve together (vmapped kernels).
+    Returns (x, residual_norm)."""
+    x0 = jnp.asarray(x0, dtype=float)
+    lb = jnp.broadcast_to(jnp.asarray(lb, dtype=float), x0.shape)
+    ub = jnp.broadcast_to(jnp.asarray(ub, dtype=float), x0.shape)
+    scales = jnp.asarray([1.0, 0.5, 0.25, 0.125])
+
+    def _step(x):
+        r = residual_fn(x)
+        J = jax.jacfwd(residual_fn)(x)
+        JtJ = J.T @ J
+        dx = jnp.linalg.solve(JtJ + 1e-12 * jnp.eye(x.shape[-1]), -(J.T @ r))
+        return jnp.sum(r * r), dx
+
+    def _probe(x, dx):
+        def c(scale):
+            x_try = jnp.clip(x + scale * dx, lb, ub)
+            r = residual_fn(x_try)
+            return jnp.sum(r * r)
+        return jax.vmap(c)(scales)
+
+    def _norm2(x):
+        r = residual_fn(x)
+        return jnp.sum(r * r)
+
+    if batched:
+        in_axes_lb = 0 if lb.ndim == x0.ndim else None
+        _step = jax.vmap(_step)
+        _probe = jax.vmap(_probe, in_axes=(0, 0))
+        _norm2 = jax.vmap(_norm2)
+    step = jax.jit(_step)
+    probe = jax.jit(_probe)
+    norm2 = jax.jit(_norm2)
+
+    x = jnp.clip(x0, lb, ub)
+    for _ in range(iters):
+        c0, dx = step(x)
+        costs = probe(x, dx)  # (4,) or (batch, 4)
+        best = jnp.argmin(costs, axis=-1)
+        best_c = jnp.take_along_axis(costs, best[..., None], axis=-1)[..., 0]
+        scale = scales[best]
+        x_new = jnp.clip(x + scale[..., None] * dx if batched
+                         else x + scale * dx, lb, ub)
+        improved = (best_c < c0)
+        x = jnp.where(improved[..., None] if batched else improved, x_new, x)
+    return x, jnp.sqrt(norm2(x))

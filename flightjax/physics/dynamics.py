@@ -131,6 +131,30 @@ def translate_mass_props(t_bc: FrameTransform, mp_c: MassProps) -> MassProps:
     return MassProps(m=m, J=J_b_b, r_OG=r_bG_b)
 
 
+def solve3(A, b):
+    """Closed-form 3x3 solve via the adjugate (Cramer). Batched LU with
+    pivoting (`jnp.linalg.solve`) lowers to a sequential loop kernel on TPU;
+    the adjugate is a handful of fused elementwise ops."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = (c00 * b0 + c10 * b1 + c20 * b2) / det
+    x1 = (c01 * b0 + c11 * b1 + c21 * b2) / det
+    x2 = (c02 * b0 + c12 * b1 + c22 * b2) / det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 class DynamicsU(NamedTuple):
     """Input to the Newton-Euler solver (`dynamics.jl:408-414`)."""
     mp_sum_b: MassProps    # total mass properties, body frame
@@ -218,7 +242,7 @@ class VehicleDynamics(Component):
                - jnp.einsum("...ij,...j->...i", J_c,
                             jnp.cross(omega_ie_c, omega_ec_c))
                - jnp.cross(omega_ic_c, hc))
-        omega_dot_ec_c = jnp.linalg.solve(J_c, rhs[..., None])[..., 0]
+        omega_dot_ec_c = solve3(J_c, rhs)
         v_dot_ec_c = (F_c / m_sum[..., None] + g_c_c
                       - jnp.cross(omega_ec_c + 2 * omega_ie_c, v_ec_c))
 

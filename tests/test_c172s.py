@@ -1,0 +1,116 @@
+"""Cessna 172S end-to-end tests (mirrors `test_c172s.jl`: trim success +
+post-trim sanity, 10 s elevator-step response, NED linearization)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flightjax.core.sim import Simulation, SimState
+from flightjax.models.c172 import c172s, common as C172
+from flightjax.physics import piston as PE
+
+
+@pytest.fixture(scope="module")
+def trimmed():
+    vehicle = c172s.build_vehicle("wa")
+    x, u, s, ts, rnorm = c172s.trim(vehicle)
+    return vehicle, x, u, s, ts, float(rnorm)
+
+
+def test_trim_converges(trimmed):
+    vehicle, x, u, s, ts, rnorm = trimmed
+    assert rnorm < 1e-10
+
+    x_dot, y = vehicle.f_ode(x, u, s, 0.0)
+    # post-trim sanity (`c172s.jl:255-262`)
+    for leg in y.systems.ldg.values():
+        assert not bool(leg.strut.wow)
+    assert float(x["systems"]["pwp"]["engine"]["omega"]) > \
+        vehicle.systems.pwp.engine.omega_idle
+    assert abs(float(x_dot["systems"]["aero"]["alpha_filt"])) < 1e-10
+    assert abs(float(x_dot["systems"]["aero"]["beta_filt"])) < 1e-10
+    # level unaccelerated flight
+    assert float(y.airflow.EAS) == pytest.approx(50.0, abs=1e-6)
+    np.testing.assert_allclose(np.asarray(x_dot["dynamics"]["v_eb_b"]), 0.0,
+                               atol=1e-9)
+
+
+def test_trim_state_plausible(trimmed):
+    _, _, _, _, ts, _ = trimmed
+    assert 0.0 < float(ts.alpha_a) < 0.09      # below stall onset
+    assert 0.3 < float(ts.throttle) < 0.9
+    assert 0.6 < float(ts.n_eng) < 1.0
+    assert abs(float(ts.phi_nb)) < 0.05
+
+
+def test_elevator_step_10s(trimmed):
+    vehicle, x, u, s, ts, _ = trimmed
+    world = c172s.flagship_world("wa")
+    # rebuild world-level containers around the vehicle trim
+    state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
+                     x={"vehicle": x}, u={"vehicle": u},
+                     s={"vehicle": s, "terminated": jnp.asarray(False)})
+    sim = Simulation(world, dt=0.02)
+
+    # elevator step (+0.1 from trim)
+    act = dict(state.u["vehicle"]["systems"]["act"])
+    act["elevator"] = act["elevator"] + 0.1
+    state = state._replace(u={"vehicle": dict(
+        state.u["vehicle"], systems=dict(state.u["vehicle"]["systems"],
+                                         act=act))})
+
+    final, ts_log = sim.run(state, t_end=10.0, save_every=10)
+    leaves = jax.tree.leaves(final)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert not bool(final.s["terminated"])
+
+    _, y0 = vehicle.f_ode(x, u, s, 0.0)
+    _, yf = vehicle.f_ode(final.x["vehicle"], final.u["vehicle"],
+                          final.s["vehicle"], 10.0)
+    # nose-up elevator step -> climb + slower airspeed
+    assert float(yf.kinematics.h_e) > float(y0.kinematics.h_e) + 5.0
+    assert float(yf.airflow.TAS) < float(y0.airflow.TAS)
+    # engine still running
+    assert int(final.s["vehicle"]["systems"]["pwp"]["engine"]["state"]) == \
+        PE.ENG_RUNNING
+
+
+@pytest.fixture(scope="module")
+def lss():
+    out, ts, rnorm = c172s.linearize_ned()
+    assert rnorm < 1e-10
+    return out
+
+
+def test_linearize_shapes(lss):
+    assert lss.A.shape == (16, 16)
+    assert lss.B.shape == (16, 4)
+    assert lss.C.shape == (33, 16)
+    assert lss.D.shape == (33, 4)
+    assert np.all(np.isfinite(lss.A)) and np.all(np.isfinite(lss.B))
+    # trim point: x_dot ~ 0 for the dynamic states (lon drifts only through
+    # earth rotation terms; all true derivatives vanish)
+    assert np.max(np.abs(lss.x_dot0[:9])) < 1e-8
+
+
+def test_linearized_modes(lss):
+    """The full 16-state model must show the classic airframe mode set:
+    short period, dutch roll, and phugoid oscillatory pairs, all stable."""
+    eig = np.linalg.eigvals(lss.A)
+    osc = sorted([e for e in eig if e.imag > 1e-6], key=lambda e: -abs(e))
+    assert len(osc) >= 3, f"expected >=3 oscillatory modes, got {eig}"
+    sp, dr, ph = osc[0], osc[1], osc[-1]
+    assert 4.0 < abs(sp) < 15.0       # short period
+    assert 1.0 < abs(dr) < 5.0        # dutch roll
+    assert 0.05 < abs(ph) < 0.6       # phugoid: slow, lightly damped
+    assert all(m.real < 0 for m in (sp, dr, ph))  # all stable
+
+
+def test_elevator_pitch_sign(lss):
+    """Positive stick (elevator input up) must pitch up: the q-row entry of
+    B for the elevator must be positive (act.elevator -> aero.e inversion,
+    `c172s.jl:39-44`)."""
+    qi = lss.x_labels.index("q")
+    ei = lss.u_labels.index("elevator")
+    assert lss.B[qi, ei] > 0.1
