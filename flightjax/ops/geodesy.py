@@ -122,7 +122,12 @@ def egm96_lookup():
         # must materialize concrete arrays even if first touched inside a jit
         # trace, or the cached Lookup would capture leaked tracers
         with jax.ensure_compile_time_eval():
-            _egm96_lookup = Lookup((lat_ax, lon_ax), data, extrap="line")
+            # rowgather: contiguous row DMA + hat reduce instead of
+            # per-element gathers (the hottest op of the whole vehicle step
+            # on TPU). Queries are always in-range (lat in [-pi/2, pi/2],
+            # lon wrapped), where 'flat' == the reference's Line().
+            _egm96_lookup = Lookup((lat_ax, lon_ax), data, extrap="flat",
+                                   rowgather=True)
     return _egm96_lookup
 
 

@@ -31,16 +31,38 @@ class Lookup:
     extrap: per-axis 'flat' | 'line' (or a single string for all axes).
     """
 
-    def __init__(self, axes, values, extrap="flat"):
+    def __init__(self, axes, values, extrap="flat", dense=None,
+                 rowgather=False):
         self.axes = tuple(jnp.asarray(a) for a in axes)
         self.values = jnp.asarray(values)
         if isinstance(extrap, str):
             extrap = (extrap,) * len(self.axes)
         self.extrap = tuple(extrap)
         assert len(self.extrap) == len(self.axes)
+        # dense (gather-free) evaluation for small tables: default on when
+        # every axis is short enough that hat-basis contraction is cheap
+        if dense is None:
+            dense = all(int(a.shape[0]) <= 32 for a in self.axes)
+        self.dense = bool(dense)
+        # detect uniform axes at construction (on the original inputs,
+        # before any float32 truncation): their cell index is direct
+        # arithmetic (no searchsorted, no knot gathers)
+        def _is_uniform(a):
+            a = np.asarray(a, dtype=np.float64)
+            if a.shape[0] < 2:
+                return False
+            d = np.diff(a)
+            step = (a[-1] - a[0]) / (a.shape[0] - 1)
+            return bool(np.allclose(d, step, rtol=1e-6, atol=0.0))
+        self.uniform = tuple(_is_uniform(a) for a in axes)
+        if rowgather:
+            assert len(self.axes) == 2 and self.values.ndim == 2
+            assert all(self.uniform), "rowgather requires uniform axes"
+        self.rowgather = bool(rowgather)
 
     def tree_flatten(self):
-        return (self.axes, self.values), (self.extrap,)
+        return (self.axes, self.values), (self.extrap, self.dense,
+                                          self.rowgather)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -49,26 +71,142 @@ class Lookup:
         obj.axes = tuple(axes)
         obj.values = values
         obj.extrap = aux[0]
+        obj.dense = aux[1] if len(aux) > 1 else False
+        obj.rowgather = aux[2] if len(aux) > 2 else False
+        obj.uniform = (False,) * len(obj.extrap)
         return obj
+
+    # ------------------------------------------------------- dense (no gather)
+
+    def _hat_weights(self, x, ax, mode):
+        """(batch, n) piecewise-linear hat-basis weights such that
+        w @ knots reproduces linear interpolation. Gather-free: pure
+        broadcasting against the knot vector — on TPU this fuses into large
+        elementwise kernels + one small MXU contraction instead of
+        fusion-breaking gathers."""
+        n = ax.shape[0]
+        if mode == "flat":
+            x = jnp.clip(x, ax[0], ax[-1])
+        # segment widths; pad ends (values irrelevant beyond clamp for flat;
+        # for 'line' the edge hats extrapolate linearly by construction)
+        dl = jnp.concatenate([ax[1:2] - ax[0:1], ax[1:] - ax[:-1]])   # left
+        dr = jnp.concatenate([ax[1:] - ax[:-1], ax[-1:] - ax[-2:-1]])  # right
+        t = x[..., None] - ax  # (batch, n)
+        up = t / dl            # rising edge from knot k-1 to k
+        down = -t / dr         # falling edge from knot k to k+1
+        w = jnp.minimum(1.0 + jnp.minimum(up, 0.0), 1.0 + jnp.minimum(down, 0.0))
+        if mode == "flat":
+            w = jnp.maximum(w, 0.0)
+        else:
+            # 'line': allow the two edge hats to extrapolate linearly; the
+            # interior hats stay clamped at 0
+            w_int = jnp.maximum(w, 0.0)
+            below = x < ax[0]
+            above = x > ax[-1]
+            t0 = (x - ax[0]) / (ax[1] - ax[0])
+            tn = (x - ax[-2]) / (ax[-1] - ax[-2])
+            w_int = w_int.at[..., 0].set(
+                jnp.where(below, 1.0 - t0, w_int[..., 0]))
+            w_int = w_int.at[..., 1].set(
+                jnp.where(below, t0, w_int[..., 1]))
+            w_int = w_int.at[..., -2].set(
+                jnp.where(above, 1.0 - tn, w_int[..., -2]))
+            w_int = w_int.at[..., -1].set(
+                jnp.where(above, tn, w_int[..., -1]))
+            w = w_int
+        return w
+
+    def _call_dense(self, coords):
+        coords = jnp.broadcast_arrays(*[jnp.asarray(c) for c in coords])
+        batch_shape = coords[0].shape
+        nb = len(batch_shape)
+
+        # drop degenerate axes up front (static index, free)
+        vals = self.values
+        live, k = [], 0
+        for x, ax, mode in zip(coords, self.axes, self.extrap):
+            if ax.shape[0] == 1:
+                vals = jnp.take(vals, 0, axis=k)
+            else:
+                live.append((x, ax, mode))
+                k += 1
+
+        if not live:
+            return jnp.broadcast_to(vals, batch_shape + vals.shape)
+
+        out = None
+        for idx, (x, ax, mode) in enumerate(live):
+            w = self._hat_weights(x, ax, mode)  # (*batch, n)
+            if out is None:
+                # (B..., n0) x (n0, rest...) -> (B..., rest...) on the MXU
+                out = jnp.tensordot(w, vals, axes=([-1], [0]),
+                                    precision=jax.lax.Precision.HIGHEST)
+            else:
+                # out: (*batch, n_idx, rest...) ; contract axis nb with w
+                w_exp = w.reshape(batch_shape + (w.shape[-1],)
+                                  + (1,) * (out.ndim - nb - 1))
+                out = jnp.sum(out * w_exp, axis=nb)
+        return out
+
+    def _call_rowgather(self, coords):
+        """2-D uniform-grid bilinear via two contiguous ROW gathers + a
+        hat-weight reduction over the second axis. Per-element gathers from a
+        large table are the single slowest op pattern on TPU (~0.75 ms for a
+        (4096,) query into 721x1441); row gathers are big contiguous DMA
+        slices and the reduction fuses into elementwise kernels."""
+        x0, x1 = jnp.broadcast_arrays(*[jnp.asarray(c) for c in coords])
+        a0, a1 = self.axes
+        n0, n1 = a0.shape[0], a1.shape[0]
+        d0 = (a0[-1] - a0[0]) / (n0 - 1)
+        d1 = (a1[-1] - a1[0]) / (n1 - 1)
+
+        i0 = jnp.clip(jnp.floor((x0 - a0[0]) / d0).astype(jnp.int32), 0, n0 - 2)
+        w0 = (x0 - a0[0]) / d0 - i0
+        if self.extrap[0] == "flat":
+            w0 = jnp.clip(w0, 0.0, 1.0)
+
+        rows_lo = self.values[i0]        # (B, n1) contiguous row slices
+        rows_hi = self.values[i0 + 1]
+        row = rows_lo * (1.0 - w0)[..., None] + rows_hi * w0[..., None]
+
+        # hat weights over the second axis, dense (fused elementwise+reduce)
+        t = (x1 - a1[0]) / d1
+        if self.extrap[1] == "flat":
+            t = jnp.clip(t, 0.0, n1 - 1.0)
+        k = jnp.arange(n1, dtype=row.dtype)
+        w1 = jnp.maximum(0.0, 1.0 - jnp.abs(t[..., None] - k))
+        return jnp.sum(row * w1, axis=-1)
 
     def __call__(self, *coords):
         """Evaluate at query point(s). Each coord broadcasts; returns array of
         batch shape + trailing value dims."""
         assert len(coords) == len(self.axes)
+        if getattr(self, "rowgather", False):
+            return self._call_rowgather(coords)
+        if self.dense:
+            return self._call_dense(coords)
         coords = jnp.broadcast_arrays(*[jnp.asarray(c) for c in coords])
         batch_shape = coords[0].shape
 
         idxs, wgts = [], []
-        for x, ax, mode in zip(coords, self.axes, self.extrap):
+        for x, ax, mode, uni in zip(coords, self.axes, self.extrap,
+                                    self.uniform):
             n = ax.shape[0]
             if n == 1:
                 idxs.append(jnp.zeros(batch_shape, dtype=jnp.int32))
                 wgts.append(jnp.zeros(batch_shape, dtype=self.values.dtype))
                 continue
-            i = jnp.clip(jnp.searchsorted(ax, x, side="right") - 1, 0, n - 2)
-            x0 = jnp.take(ax, i)
-            x1 = jnp.take(ax, i + 1)
-            w = (x - x0) / (x1 - x0)
+            if uni:
+                dx = (ax[-1] - ax[0]) / (n - 1)
+                i = jnp.clip(jnp.floor((x - ax[0]) / dx).astype(jnp.int32),
+                             0, n - 2)
+                w = (x - ax[0]) / dx - i
+            else:
+                i = jnp.clip(jnp.searchsorted(ax, x, side="right") - 1,
+                             0, n - 2)
+                x0 = jnp.take(ax, i)
+                x1 = jnp.take(ax, i + 1)
+                w = (x - x0) / (x1 - x0)
             if mode == "flat":
                 w = jnp.clip(w, 0.0, 1.0)
             idxs.append(i.astype(jnp.int32))

@@ -171,13 +171,19 @@ class LandingGearUnit(Component):
         q_eb, q_nb, q_en = kin.q_eb, kin.q_nb, kin.q_en
         r_eb_e, v_eb_b, omega_eb_b = kin.r_eb_e, kin.v_eb_b, kin.omega_eb_b
 
-        # natural-length wheel endpoint vs terrain height -> wow
+        # natural-length wheel endpoint vs terrain height -> wow.
+        # The geoid undulation at the wheel is taken from the vehicle
+        # location (N = h_e - h_o, already computed by the kinematics) —
+        # the wheel sits metres from Ob, where N differs by ~3e-5 m on the
+        # 15-arcmin EGM96 grid, far below the contact dynamics scale; this
+        # avoids a second 721x1441 table gather per leg (the single hottest
+        # op on TPU).
         q_es = qmul(q_eb, q_bs)
         ks_e = qrot(q_es, E3)
         r_bs_e = qrot(q_eb, r_bs_b)
         r_ew0_e = r_eb_e + r_bs_e + l_0 * ks_e
         n_e_w0, h_e_w0 = geo.geographic_from_cartesian(r_ew0_e)
-        h_e_trn = geo.ellip_from_orth(trn.elevation, n_e_w0)
+        h_e_trn = trn.elevation + (kin.h_e - kin.h_o)
         delta_h = h_e_w0 - h_e_trn
         wow = delta_h <= 0
 

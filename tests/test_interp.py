@@ -66,3 +66,28 @@ def test_nonuniform_3d():
     pts = [(0.3, 0.2, 3.1), (1.7, -0.5, 0.2)]
     for x, y, z in pts:
         np.testing.assert_allclose(f(x, y, z), 2 * x - 3 * y + 0.5 * z, atol=1e-12)
+
+
+def test_dense_matches_gather_randomized():
+    """Gather-free (hat-basis/MXU) evaluation must agree exactly with the
+    gather path for every dimension/extrapolation combination, inside and
+    outside the grid."""
+    import numpy as np
+    import jax.numpy as jnp
+    from flightjax.ops.interp import Lookup
+
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        d = int(rng.integers(1, 4))
+        axes = [np.sort(rng.uniform(-2, 2, int(rng.integers(2, 9))))
+                for _ in range(d)]
+        if rng.random() < 0.3:
+            axes[int(rng.integers(0, d))] = np.array([0.5])
+        trailing = (3,) if rng.random() < 0.5 else ()
+        vals = rng.normal(size=tuple(len(a) for a in axes) + trailing)
+        extrap = tuple(rng.choice(["flat", "line"]) for _ in range(d))
+        lg = Lookup(axes, vals, extrap, dense=False)
+        ld = Lookup(axes, vals, extrap, dense=True)
+        q = [jnp.asarray(rng.uniform(-3, 3, 17)) for _ in range(d)]
+        np.testing.assert_allclose(np.asarray(lg(*q)), np.asarray(ld(*q)),
+                                   rtol=1e-12, atol=1e-12)
