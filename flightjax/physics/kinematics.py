@@ -108,9 +108,15 @@ def _course_gamma(v_eb_n):
 
 
 def _kin_data_common(q_nb, q_en, q_eb, n_e, h_e, omega_wb_b, omega_eb_b,
-                     v_eb_b, v_eb_n, gate_chi=True):
+                     v_eb_b, v_eb_n, gate_chi=True, geoid_N=None):
+    """`geoid_N`: optionally supply the geoid undulation (m) instead of
+    looking it up — the EGM96 gather is the hottest op of a vehicle step on
+    TPU, and N changes by ~1e-5 m per integration step of flight, so the
+    Vehicle carries it in its discrete state and refreshes it once per step
+    (the reference re-interpolates every stage, `geodesy.jl:232-246`)."""
     lat, lon = geo.latlon_from_nvector(n_e)
-    h_o = geo.orth_from_ellip(h_e, n_e)
+    h_o = (h_e - geoid_N) if geoid_N is not None \
+        else geo.orth_from_ellip(h_e, n_e)
     r_eb_e = geo.cartesian_from_geographic(n_e, h_e)
     if gate_chi:
         v_gnd, chi, gamma = _course_gamma(v_eb_n)
@@ -186,7 +192,7 @@ class WA(Component):
             "h_e": -v_eb_n[..., 2],
         }
         y = _kin_data_common(q_nb, q_en, q_eb, n_e, h_e, omega_wb_b,
-                             omega_eb_b, v_eb_b, v_eb_n)
+                             omega_eb_b, v_eb_b, v_eb_n, geoid_N=s)
         return x_dot, y
 
     def f_step(self, x, u, s, t):
@@ -227,7 +233,7 @@ class ECEF(Component):
             "h_e": -v_eb_n[..., 2],
         }
         y = _kin_data_common(q_nb, q_en, q_eb, n_e, h_e, omega_wb_b,
-                             omega_eb_b, v_eb_b, v_eb_n)
+                             omega_eb_b, v_eb_b, v_eb_n, geoid_N=s)
         return x_dot, y
 
     def f_step(self, x, u, s, t):
@@ -281,5 +287,6 @@ class NED(Component):
             "h_e": -v_eb_n[..., 2],
         }
         y = _kin_data_common(q_nb, q_en, q_eb, n_e, h_e, omega_wb_b,
-                             omega_eb_b, v_eb_b, v_eb_n, gate_chi=False)
+                             omega_eb_b, v_eb_b, v_eb_n, gate_chi=False,
+                             geoid_N=s)
         return x_dot, y

@@ -332,3 +332,87 @@ class LandingGearUnit(Component):
         strut = self.strut_y(u, kin, trn)
         frc = jnp.where(strut.wow, x["frc"], jnp.zeros(2))
         return {"frc": frc}, s
+
+
+class GearSet:
+    """A set of gear legs evaluated as ONE vmapped strut/contact computation
+    (leg parameters stacked on a leading axis) — same math as N separate
+    `LandingGearUnit`s, ~N-fold fewer ops in the compiled graph.
+
+    All legs get a steering range and a braking efficiency; a leg without
+    steering/braking simply has psi_max = 0 / eta_br = 0, which reproduces
+    NoSteering/NoBraking exactly."""
+
+    def __init__(self, names, r_bs, dampers, psi_max, eta_br):
+        self.names = tuple(names)
+        n = len(self.names)
+        self.unit = LandingGearUnit(
+            r_bs=np.zeros(3),
+            damper=SimpleDamper(
+                k_s=np.asarray([d.k_s for d in dampers]),
+                k_d_ext=np.asarray([d.k_d_ext for d in dampers]),
+                k_d_cmp=np.asarray([d.k_d_cmp for d in dampers]),
+                F_max=np.asarray([d.F_max for d in dampers])),
+            steering={"psi_max": np.asarray(psi_max)},
+            braking={"eta_br": np.asarray(eta_br)})
+        self.unit.r_bs = np.asarray(r_bs, dtype=float)  # (n, 3)
+        self.unit.q_bs = np.broadcast_to(np.array([1.0, 0, 0, 0]), (n, 4)).copy()
+        self.n = n
+
+    def _vmapped(self, fn, *args):
+        import jax
+        unit = self.unit
+
+        def leg(r_bs, q_bs, ks, kde, kdc, psi_max, eta_br, *rest):
+            import copy
+            u2 = copy.copy(unit)
+            u2.r_bs = r_bs
+            u2.q_bs = q_bs
+            u2.damper = SimpleDamper(ks, kde, kdc, 50000.0)
+            u2.steering = {"psi_max": psi_max}
+            u2.braking = {"eta_br": eta_br}
+            return fn(u2, *rest)
+
+        d = unit.damper
+        return jax.vmap(leg, in_axes=(0, 0, 0, 0, 0, 0, 0)
+                        + (0,) * len(args[:1]) + (None,) * (len(args) - 1))(
+            jnp.asarray(unit.r_bs), jnp.asarray(unit.q_bs),
+            jnp.asarray(d.k_s), jnp.asarray(d.k_d_ext), jnp.asarray(d.k_d_cmp),
+            jnp.asarray(unit.steering["psi_max"]),
+            jnp.asarray(unit.braking["eta_br"]), *args)
+
+    def f_ode(self, x, u, t, kin: KinData, trn: TerrainData):
+        """x: {'frc': (n,2)}; u: {'steering': (n,), 'braking': (n,)}.
+        Returns ({'frc': (n,2)}, GearUnitY with (n,)-leading leaves)."""
+        xd, y = self._vmapped(
+            lambda unit, xu, kin, trn: unit.f_ode(
+                {"frc": xu[:2]}, {"steering": xu[2], "braking": xu[3]},
+                None, t, kin, trn),
+            jnp.concatenate([x["frc"],
+                             u["steering"][:, None], u["braking"][:, None]],
+                            axis=1),
+            kin, trn)
+        return {"frc": xd["frc"]}, y
+
+    def f_step(self, x, u, t, kin: KinData, trn: TerrainData):
+        xs, _ = self._vmapped(
+            lambda unit, xu, kin, trn: unit.f_step(
+                {"frc": xu[:2]}, {"steering": xu[2], "braking": xu[3]},
+                None, t, kin, trn),
+            jnp.concatenate([x["frc"],
+                             u["steering"][:, None], u["braking"][:, None]],
+                            axis=1),
+            kin, trn)
+        return {"frc": xs["frc"]}
+
+    def strut_y(self, x, u, t, kin: KinData, trn: TerrainData) -> StrutY:
+        return self._vmapped(
+            lambda unit, xu, kin, trn: unit.strut_y(
+                {"steering": xu[2], "braking": xu[3]}, kin, trn),
+            jnp.concatenate([x["frc"],
+                             u["steering"][:, None], u["braking"][:, None]],
+                            axis=1),
+            kin, trn)
+
+    def init_x(self):
+        return {"frc": jnp.zeros((self.n, 2))}

@@ -24,8 +24,7 @@ def test_trim_converges(trimmed):
 
     x_dot, y = vehicle.f_ode(x, u, s, 0.0)
     # post-trim sanity (`c172s.jl:255-262`)
-    for leg in y.systems.ldg.values():
-        assert not bool(leg.strut.wow)
+    assert not bool(np.any(np.asarray(y.systems.ldg.strut.wow)))
     assert float(x["systems"]["pwp"]["engine"]["omega"]) > \
         vehicle.systems.pwp.engine.omega_idle
     assert abs(float(x_dot["systems"]["aero"]["alpha_filt"])) < 1e-10
