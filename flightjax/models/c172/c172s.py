@@ -135,12 +135,16 @@ def trim_residual(vehicle: Vehicle, tp: C172.TrimParameters, ts_vec):
 
 
 def trim(vehicle: Vehicle, tp: C172.TrimParameters = None, iters=30):
-    """Solve the trim problem; returns (x, u, s, trim_state, residual_norm)."""
+    """Solve the trim problem from a multi-start pool (batched Gauss-Newton);
+    returns (x, u, s, trim_state, residual_norm)."""
     if tp is None:
         tp = C172.trim_parameters()
     res_fn = partial(trim_residual, vehicle, tp)
-    ts_vec, rnorm = trim_gauss_newton(res_fn, C172.TRIM_X0, C172.TRIM_LB,
-                                      C172.TRIM_UB, iters=iters)
+    ts_vecs, rnorms = trim_gauss_newton(res_fn, C172.TRIM_STARTS, C172.TRIM_LB,
+                                        C172.TRIM_UB, iters=iters,
+                                        batched=True)
+    best = jnp.argmin(rnorms)
+    ts_vec, rnorm = ts_vecs[best], rnorms[best]
     ts = C172.TrimState(*[ts_vec[i] for i in range(7)])
     x, u, s = trim_assign(vehicle, tp, ts)
     return x, u, s, ts, rnorm

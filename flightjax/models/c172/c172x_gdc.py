@@ -1,0 +1,184 @@
+"""C172X guidance laws: segment (leg) guidance commanding the control laws.
+
+Mirrors `/root/reference/lib/FlightApps/src/c172/c172x/guidance/
+c172x_gdc.jl`:
+- `Segment` between two geographic points and the segment-relative data
+  (along/cross-track, vertical deviation, azimuth/inclination —
+  `c172x_gdc.jl:37-148`)
+- lateral law: intercept angle dchi = -dchi_inf * (2/pi) * atan(e/e_sf) ->
+  chi_ref (`:243-244`)
+- vertical law: h_ref from the nominal segment altitude, gated by the
+  cross-track threshold (`:245-249`)
+- mode machine direct/segment(/circular stub) that overrides the
+  ControlLaws' lateral/longitudinal mode requests (`:297-329`)
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from flightjax.ops import attitude as att
+from flightjax.ops import geodesy as geo
+from flightjax.ops.quaternions import qrot_inv
+from flightjax.models.c172 import c172x_ctl as CTL
+
+GDC_DIRECT, GDC_SEGMENT, GDC_CIRCULAR = 0, 1, 2
+
+
+class Segment(NamedTuple):
+    """Two geographic endpoints (n-vector + ellipsoidal altitude)."""
+    n_e1: jnp.ndarray
+    h_e1: jnp.ndarray
+    n_e2: jnp.ndarray
+    h_e2: jnp.ndarray
+
+
+def segment(lat1, lon1, h1, lat2, lon2, h2):
+    return Segment(
+        n_e1=geo.nvector_from_latlon(jnp.asarray(lat1), jnp.asarray(lon1)),
+        h_e1=jnp.asarray(float(h1)),
+        n_e2=geo.nvector_from_latlon(jnp.asarray(lat2), jnp.asarray(lon2)),
+        h_e2=jnp.asarray(float(h2)))
+
+
+def segment_from_vector(lat1, lon1, h1, chi, s, gamma=None, dh=None):
+    """Endpoint from origin + course/length (+ slope) (`c172x_gdc.jl:62-88`)."""
+    if dh is None:
+        dh = s * np.tan(gamma)
+    n_e1 = geo.nvector_from_latlon(jnp.asarray(lat1), jnp.asarray(lon1))
+    q_en1 = geo.ltf(n_e1)
+    r_12_n = jnp.asarray([s * np.cos(chi), s * np.sin(chi), 0.0])
+    from flightjax.ops.quaternions import qrot
+    r_e2_e = geo.cartesian_from_geographic(n_e1, jnp.asarray(float(h1))) \
+        + qrot(q_en1, r_12_n)
+    n_e2, _ = geo.geographic_from_cartesian(r_e2_e)
+    lat2, lon2 = geo.latlon_from_nvector(n_e2)
+    return segment(lat1, lon1, h1, float(lat2), float(lon2), float(h1) + dh)
+
+
+class SegmentData(NamedTuple):
+    """Segment-relative coordinates (`c172x_gdc.jl:102-148`)."""
+    chi_12: jnp.ndarray
+    gamma_12: jnp.ndarray
+    s_12: jnp.ndarray
+    s_1b: jnp.ndarray
+    s_2b: jnp.ndarray
+    e_sb: jnp.ndarray
+    v_sb: jnp.ndarray
+    h_s: jnp.ndarray
+
+
+def segment_data(seg: Segment, n_e_b, h_e_b) -> SegmentData:
+    r_e1 = geo.cartesian_from_geographic(seg.n_e1, seg.h_e1)
+    r_e2 = geo.cartesian_from_geographic(seg.n_e2, seg.h_e2)
+    r_eb = geo.cartesian_from_geographic(n_e_b, h_e_b)
+    q_en = geo.ltf(n_e_b)
+
+    r_1b_n = qrot_inv(q_en, r_eb - r_e1)
+    r_12_n = qrot_inv(q_en, r_e2 - r_e1)
+    r_1b_h = r_1b_n.at[2].set(0.0)
+    r_12_h = r_12_n.at[2].set(0.0)
+
+    s_12 = jnp.sqrt(jnp.sum(r_12_h**2) + 1e-12)
+    u_12 = r_12_h / s_12
+    s_1b = jnp.dot(u_12, r_1b_h)
+    s_2b = s_1b - s_12
+    e_sb = jnp.cross(u_12, r_1b_h)[2]
+
+    h_s = seg.h_e1 + (seg.h_e2 - seg.h_e1) * s_1b / s_12
+    v_sb = h_e_b - h_s
+    chi_12 = att.azimuth(u_12)
+    gamma_12 = jnp.arctan2(seg.h_e2 - seg.h_e1, s_12)
+    return SegmentData(chi_12=chi_12, gamma_12=gamma_12, s_12=s_12,
+                       s_1b=s_1b, s_2b=s_2b, e_sb=e_sb, v_sb=v_sb, h_s=h_s)
+
+
+class GdcY(NamedTuple):
+    mode: jnp.ndarray
+    data: SegmentData
+    dchi: jnp.ndarray
+    chi_ref: jnp.ndarray
+    h_ref: jnp.ndarray
+    hor_gdc: jnp.ndarray
+    vrt_gdc: jnp.ndarray
+
+
+class GuidanceLaws:
+    """Segment guidance component (`c172x_gdc.jl:226-338`)."""
+
+    DCHI_INF = np.pi / 2  # intercept angle at infinite cross-track error
+    E_SF = 250.0          # cross-track scaling (m)
+    E_THR = 1000.0        # cross-track gate for vertical guidance (m)
+
+    def init_u(self):
+        return {
+            "mode_req": jnp.asarray(GDC_DIRECT, dtype=jnp.int32),
+            "target": segment(0.0, 0.0, 0.0, 1e-3, 0.0, 0.0),
+            "hor_gdc_req": jnp.asarray(False),
+            "vrt_gdc_req": jnp.asarray(False),
+        }
+
+    def f_periodic(self, u, veh_y) -> GdcY:
+        """Compute guidance references and activity flags
+        (`c172x_gdc.jl:258-283, 297-329`)."""
+        kin = veh_y.kinematics
+        data = segment_data(u["target"], kin.n_e, kin.h_e)
+
+        dchi = -self.DCHI_INF / (np.pi / 2) * jnp.arctan(data.e_sb / self.E_SF)
+        chi_ref = att.wrap_to_pi(data.chi_12 + dchi)
+        h_ref = data.h_s
+
+        mode = jnp.where(CTL.is_on_gnd(veh_y), GDC_DIRECT,
+                         u["mode_req"]).astype(jnp.int32)
+        seg_on = mode == GDC_SEGMENT
+        hor = jnp.logical_and(seg_on, u["hor_gdc_req"])
+        vrt = jnp.logical_and(
+            seg_on, jnp.logical_and(u["vrt_gdc_req"],
+                                    jnp.abs(data.e_sb) < self.E_THR))
+        return GdcY(mode=mode, data=data, dchi=dchi, chi_ref=chi_ref,
+                    h_ref=h_ref, hor_gdc=hor, vrt_gdc=vrt)
+
+    def override_ctl_u(self, ctl_u, gdc_y: GdcY):
+        """Guidance commands the control laws (`c172x_gdc.jl:301-312`)."""
+        lat = dict(ctl_u["lat"])
+        lon = dict(ctl_u["lon"])
+        lat["chi_ref"] = jnp.where(gdc_y.hor_gdc, gdc_y.chi_ref,
+                                   lat["chi_ref"])
+        lat["mode_req"] = jnp.where(gdc_y.hor_gdc, CTL.LAT_CHI_BETA,
+                                    lat["mode_req"]).astype(jnp.int32)
+        lon["h_ref"] = jnp.where(gdc_y.vrt_gdc, gdc_y.h_ref, lon["h_ref"])
+        lon["mode_req"] = jnp.where(gdc_y.vrt_gdc, CTL.LON_EAS_ALT,
+                                    lon["mode_req"]).astype(jnp.int32)
+        return dict(ctl_u, lat=lat, lon=lon)
+
+
+class Avionics:
+    """v2 avionics = GuidanceLaws + ControlLaws; guidance runs first and
+    overrides the control-law requests (`c172x2.jl:18-42`)."""
+
+    def __init__(self, gains=None):
+        self.ctl = CTL.ControlLaws(gains)
+        self.gdc = GuidanceLaws()
+
+    def init_u(self):
+        return {"ctl": self.ctl.init_u(), "gdc": self.gdc.init_u()}
+
+    def init_s(self):
+        return {"ctl": self.ctl.init_s()}
+
+    def f_periodic(self, s, u, veh_y, dt):
+        gdc_y = self.gdc.f_periodic(u["gdc"], veh_y)
+        ctl_u = self.gdc.override_ctl_u(u["ctl"], gdc_y)
+        s_ctl, ctl_y = self.ctl.f_periodic(s["ctl"], ctl_u, veh_y, dt)
+        return {"ctl": s_ctl}, {"ctl": ctl_y, "gdc": gdc_y}
+
+    def assign(self, u_systems, av_y):
+        return self.ctl.assign(u_systems, av_y["ctl"])
+
+    def output(self, s, u, veh_y):
+        return self.ctl.output(s["ctl"], u["ctl"], veh_y)
+
+    def init_from_trim(self, veh_y, dt):
+        ctl_u, ctl_s = self.ctl.init_from_trim(veh_y, dt)
+        return ({"ctl": ctl_u, "gdc": self.gdc.init_u()}, {"ctl": ctl_s})

@@ -460,6 +460,16 @@ TRIM_X0 = np.array([0.1, 0.0, 0.75, 0.47, 0.014, -0.0015, 0.02])
 TRIM_LB = np.array([-np.pi / 12, -np.pi / 3, 0.4, 0.0, -1.0, -1.0, -1.0])
 TRIM_UB = np.array([0.36, np.pi / 3, 1.1, 1.0, 1.0, 1.0, 1.0])
 
+# multi-start pool for the bounded Gauss-Newton (the reference's BOBYQA is
+# more tolerant of a single poor start; a handful of spread starts restores
+# robustness at demanding conditions like EAS=25 with full flaps)
+TRIM_STARTS = np.array([
+    TRIM_X0,
+    [0.18, 0.0, 0.95, 0.85, 0.0, -0.1, 0.0],   # slow flight: high alpha/power
+    [0.04, 0.0, 0.80, 0.55, 0.0, 0.05, 0.0],   # fast cruise
+    [0.25, 0.0, 1.00, 1.00, 0.0, -0.3, 0.0],   # near-stall, full power
+])
+
 
 class TrimParameters(NamedTuple):
     """Trim condition (`c172.jl:806-818`). `n_e`/`h_e` locate Ob."""

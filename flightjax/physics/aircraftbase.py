@@ -262,8 +262,9 @@ def trim_gauss_newton(residual_fn, x0, lb, ub, iters=30, batched=False):
     axis and whole fleets of trim problems solve together (vmapped kernels).
     Returns (x, residual_norm)."""
     x0 = jnp.asarray(x0, dtype=float)
-    lb = jnp.broadcast_to(jnp.asarray(lb, dtype=float), x0.shape)
-    ub = jnp.broadcast_to(jnp.asarray(ub, dtype=float), x0.shape)
+    # bounds are per-variable (shared across a batch of starts)
+    lb = jnp.broadcast_to(jnp.asarray(lb, dtype=float), x0.shape[-1:])
+    ub = jnp.broadcast_to(jnp.asarray(ub, dtype=float), x0.shape[-1:])
     scales = jnp.asarray([1.0, 0.5, 0.25, 0.125])
 
     def _step(x):
@@ -285,7 +286,6 @@ def trim_gauss_newton(residual_fn, x0, lb, ub, iters=30, batched=False):
         return jnp.sum(r * r)
 
     if batched:
-        in_axes_lb = 0 if lb.ndim == x0.ndim else None
         _step = jax.vmap(_step)
         _probe = jax.vmap(_probe, in_axes=(0, 0))
         _norm2 = jax.vmap(_norm2)
