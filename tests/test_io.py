@@ -1,0 +1,164 @@
+"""Host I/O tests (mirrors `test_network.jl`: in-process UDP loopbacks,
+X-Plane message formats) + checkpoint round-trip + plots smoke test."""
+
+import json
+import struct
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flightjax.io import network as net
+from flightjax.io.devices import IOMapping, InputMappingError
+
+
+def test_udp_loopback():
+    """Output -> input through localhost (`test_network.jl:22-60`)."""
+    rx = net.UDPInput(port=49390)
+    tx = net.UDPOutput(port=49390)
+    rx.init()
+    tx.init()
+    got = []
+
+    def reader():
+        got.append(rx.get_data())
+
+    th = threading.Thread(target=reader)
+    th.start()
+    tx.handle_data(b"hello flightjax")
+    th.join(timeout=2.0)
+    assert got == [b"hello flightjax"]
+    # EOT triggers shutdown request
+    th = threading.Thread(target=reader)
+    th.start()
+    tx.sock.sendto(net.EOT, (rx.address, rx.port))
+    th.join(timeout=2.0)
+    assert got[-1] is None and rx.should_close()
+    rx.interrupt()
+    tx.shutdown()
+
+
+def test_json_loopback():
+    """JSON telecommand round-trip (`c172_demos.jl:318-400` pattern)."""
+    rx = net.UDPInput(port=49391)
+    tx = net.UDPOutput(port=49391)
+    rx.init()
+    tx.init()
+    cmd = {"lon": {"mode_req": 8, "EAS_ref": 45.0}, "lat": {"mode_req": 4}}
+    got = []
+    th = threading.Thread(target=lambda: got.append(rx.get_data()))
+    th.start()
+    tx.handle_data(json.dumps(cmd))
+    th.join(timeout=2.0)
+    assert json.loads(got[0]) == cmd
+    rx.interrupt()
+    tx.shutdown()
+
+
+def test_xplane_message_formats():
+    """Byte-exact protocol checks (`network.jl:160-196`)."""
+    msg = net.xpmsg_cmd("sim/operation/fix_all_systems")
+    assert msg.startswith(b"CMND\0")
+
+    dref = net.xpmsg_set_dref("sim/test/dref", 2.5)
+    assert len(dref) == 509
+    assert dref[:5] == b"DREF\0"
+    assert struct.unpack("<f", dref[5:9])[0] == 2.5
+    assert dref[9:22] == b"sim/test/dref"
+    assert dref[22] == 0
+
+    pose = net.xpmsg_set_pose(47.8, 13.0, 429.0, 157.0, 3.7, -0.5)
+    assert pose[:5] == b"VEHS\0"
+    assert len(pose) == 5 + 4 + 3 * 8 + 3 * 4
+    vals = struct.unpack("<iddd3f", pose[5:])
+    assert vals[0] == 0 and vals[1] == 47.8 and abs(vals[4] - 157.0) < 1e-6
+
+
+def test_c172_xplane_output():
+    from flightjax.models.c172 import c172s, common as C172
+    vehicle = c172s.build_vehicle("wa")
+    tp = C172.trim_parameters()
+    ts = C172.TrimState(*[jnp.asarray(v) for v in C172.TRIM_X0])
+    x, u, s = c172s.trim_assign(vehicle, tp, ts)
+    _, y = vehicle.f_ode(x, u, s, 0.0)
+    msgs = net.c172_xplane_messages(1.0, y)
+    assert len(msgs) == 11
+    assert all(isinstance(m, bytes) for m in msgs)
+    assert msgs[-1][:5] == b"VEHS\0"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from flightjax.core.sim import Simulation, SimState
+    from flightjax.models.robot2d import Robot
+    from flightjax.utils.checkpoint import save_state, load_state
+
+    sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02)
+    state = sim.init(u_m=0.1)
+    state = sim.step(state)
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, state)
+    restored = load_state(path)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed simulation continues identically
+    s1 = sim.step(state)
+    s2 = sim.step(restored)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_plots_smoke(tmp_path):
+    from flightjax.core.sim import Simulation
+    from flightjax.models.robot2d import Robot
+    from flightjax.utils.plots import make_plots, save_plots
+
+    sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02)
+    state = sim.init(u_m=0.05)
+    _, ts = sim.run(state, t_end=1.0, save_every=10)
+    plots = make_plots(ts)
+    assert isinstance(plots, dict) and len(plots) > 0
+    save_plots(plots, str(tmp_path / "plots"))
+    import os
+    pngs = [f for _, _, fs in os.walk(tmp_path / "plots") for f in fs]
+    assert len(pngs) > 0
+
+
+def test_joystick_graceful_without_sdl():
+    from flightjax.io.joystick import connected_joysticks, exp_axis_curve
+    assert connected_joysticks() == [] or True  # no SDL on CI: empty list
+    assert exp_axis_curve(0.0) == 0.0
+    assert exp_axis_curve(1.0) == pytest.approx(1.0)
+    assert abs(exp_axis_curve(0.5, strength=1.0)) < 0.5  # expo softens center
+    assert exp_axis_curve(0.05, deadzone=0.1) == 0.0
+
+
+def test_realtime_loop_headless():
+    """RealTimeLoop drives the sim unpaced with an output device attached."""
+    from flightjax.core.sim import Simulation
+    from flightjax.models.robot2d import Robot
+    from flightjax.io.realtime import RealTimeLoop
+
+    class Sink(net.OutputDevice):
+        def __init__(self):
+            self.count = 0
+
+        def init(self):
+            pass
+
+        def handle_data(self, data):
+            self.count += 1
+
+    class Mapping(IOMapping):
+        def extract_output(self, state, y):
+            return float(state.t)
+
+    sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02)
+    state = sim.init(u_m=0.0)
+    loop = RealTimeLoop(sim, state)
+    sink = Sink()
+    loop.attach(sink, Mapping(), period=0.01)
+    final = loop.run(t_end=0.5, pace=float("inf"))
+    assert float(final.t) >= 0.5
+    assert sink.count > 0
