@@ -24,7 +24,7 @@ from flightjax.physics import kinematics as K
 from flightjax.physics import piston as PE
 from flightjax.physics import propellers as PR
 from flightjax.physics.aircraftbase import (Aircraft, SimpleWorld, Vehicle,
-                                            trim_gauss_newton)
+                                            make_gauss_newton_solver)
 from flightjax.physics.atmosphere import SimpleAtmosphere
 from flightjax.physics.linearization import LinearizedSS, linearize
 from flightjax.physics.terrain import HorizontalTerrain
@@ -139,10 +139,15 @@ def trim(vehicle: Vehicle, tp: C172.TrimParameters = None, iters=30):
     returns (x, u, s, trim_state, residual_norm)."""
     if tp is None:
         tp = C172.trim_parameters()
-    res_fn = partial(trim_residual, vehicle, tp)
-    ts_vecs, rnorms = trim_gauss_newton(res_fn, C172.TRIM_STARTS, C172.TRIM_LB,
-                                        C172.TRIM_UB, iters=iters,
-                                        batched=True)
+    # cache the jitted solver on the vehicle: repeated trims at different
+    # conditions (envelope sweeps) then reuse one compilation
+    solver = getattr(vehicle, "_trim_solver", None)
+    if solver is None:
+        solver = make_gauss_newton_solver(
+            lambda ts_vec, tp: trim_residual(vehicle, tp, ts_vec),
+            C172.TRIM_LB, C172.TRIM_UB, iters=iters, batched=True)
+        vehicle._trim_solver = solver
+    ts_vecs, rnorms = solver(C172.TRIM_STARTS, tp)
     best = jnp.argmin(rnorms)
     ts_vec, rnorm = ts_vecs[best], rnorms[best]
     ts = C172.TrimState(*[ts_vec[i] for i in range(7)])

@@ -19,7 +19,7 @@ import numpy as np
 from flightjax.physics import kinematics as K
 from flightjax.physics import piston as PE
 from flightjax.physics.aircraftbase import (Aircraft, SimpleWorld, Vehicle,
-                                            trim_gauss_newton)
+                                            make_gauss_newton_solver)
 from flightjax.physics.linearization import LinearizedSS, linearize
 
 from flightjax.models.c172 import common as C172
@@ -129,10 +129,15 @@ def trim(vehicle: Vehicle, tp: C172.TrimParameters = None, iters=30):
     """Multi-start bounded Gauss-Newton trim (see c172s.trim)."""
     if tp is None:
         tp = C172.trim_parameters()
-    res_fn = partial(trim_residual, vehicle, tp)
-    ts_vecs, rnorms = trim_gauss_newton(res_fn, C172.TRIM_STARTS, C172.TRIM_LB,
-                                        C172.TRIM_UB, iters=iters,
-                                        batched=True)
+    # cache the jitted solver on the vehicle: repeated trims at different
+    # conditions (envelope sweeps) then reuse one compilation
+    solver = getattr(vehicle, "_trim_solver", None)
+    if solver is None:
+        solver = make_gauss_newton_solver(
+            lambda ts_vec, tp: trim_residual(vehicle, tp, ts_vec),
+            C172.TRIM_LB, C172.TRIM_UB, iters=iters, batched=True)
+        vehicle._trim_solver = solver
+    ts_vecs, rnorms = solver(C172.TRIM_STARTS, tp)
     best = jnp.argmin(rnorms)
     ts_vec, rnorm = ts_vecs[best], rnorms[best]
     ts = C172.TrimState(*[ts_vec[i] for i in range(7)])
@@ -223,10 +228,17 @@ def get_y_ss(x, u, y, omega_rated):
     ])
 
 
+_NED_VEHICLE = None
+
+
 def linearize_ned(tp: C172.TrimParameters = None, iters=30):
     """Trim + exact-Jacobian linearization of the NED C172X
-    (`c172x.jl:332-498`)."""
-    vehicle = build_vehicle("ned")
+    (`c172x.jl:332-498`). The NED vehicle (and its jitted trim solver) is
+    cached across calls — envelope sweeps linearize at 28 points."""
+    global _NED_VEHICLE
+    if _NED_VEHICLE is None:
+        _NED_VEHICLE = build_vehicle("ned")
+    vehicle = _NED_VEHICLE
     if tp is None:
         tp = C172.trim_parameters()
     x0, u0, s0, ts, rnorm = trim(vehicle, tp, iters=iters)

@@ -1,0 +1,132 @@
+"""Fleet-scale data parallelism: vmapped fleets on one chip, shard_map DP
+over a device mesh.
+
+The reference is a single-vehicle, single-process simulator (SURVEY.md
+§2.5); the fleet axis is THE scaling dimension of the TPU rebuild:
+- batch (data) parallelism: `vmap` over a leading fleet axis of the SimState
+  pytree — one Model instance per aircraft becomes one lane per aircraft
+- multi-chip: `shard_map` over a 1-D ("dp",) mesh with the fleet axis
+  sharded; per-lane physics stays local, fleet reductions ride ICI
+  (`jax.lax.pmean/psum`); multi-host scales the same code over DCN via
+  jax.distributed
+- Monte Carlo config: per-lane randomized wind / payload mass / CG /
+  initial condition perturbations.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def broadcast_state(state, batch):
+    """Tile a single SimState across a leading fleet axis."""
+    return jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (batch,) + jnp.shape(l)), state)
+
+
+def fleet_step_fn(sim, ctx=()):
+    """Jittable fleet step: SimState with leading batch axis -> next."""
+    step = jax.vmap(lambda s: sim.step(s, ctx))
+    return jax.jit(step)
+
+
+def fleet_rollout(sim, state, n_steps, ctx=(), unroll=1):
+    """Scan a fleet forward n_steps (no logging — the throughput path)."""
+
+    @jax.jit
+    def roll(st):
+        def body(s, _):
+            return jax.vmap(lambda q: sim.step(q, ctx))(s), None
+        st, _ = jax.lax.scan(body, st, None, length=n_steps, unroll=unroll)
+        return st
+
+    return roll(state)
+
+
+def fleet_metrics(state, veh_y_fn=None):
+    """Cheap fleet-level summaries from a batched world SimState."""
+    out = {"t": jnp.mean(state.t)}
+    s = state.s
+    if isinstance(s, dict) and "terminated" in s:
+        out["terminated_frac"] = jnp.mean(s["terminated"].astype(jnp.float32))
+    return out
+
+
+# ----------------------------------------------------------- Monte Carlo
+
+def monte_carlo_c172(state, key, wind_std=5.0, payload_std=15.0,
+                     fuel_range=(0.2, 0.9), h_jitter=50.0):
+    """Per-lane randomized wind (NED), payload masses (CG shift), fuel load
+    and altitude over a batched C172 world SimState. Returns the perturbed
+    fleet state."""
+    batch = state.t.shape[0]
+    k_wind, k_pld, k_fuel, k_h = jax.random.split(key, 4)
+
+    u = state.u
+    veh_u = dict(u["vehicle"])
+    atm = dict(veh_u["atm"])
+    atm["wind"] = wind_std * jax.random.normal(k_wind, (batch, 3))
+    veh_u["atm"] = atm
+
+    sys_u = dict(veh_u["systems"])
+    pld = dict(sys_u["pld"])
+    for i, name in enumerate(("pilot", "copilot", "baggage")):
+        kk = jax.random.fold_in(k_pld, i)
+        pld[name] = jnp.clip(pld[name]
+                             + payload_std * jax.random.normal(kk, (batch,)),
+                             0.0, 100.0)
+    sys_u["pld"] = pld
+    veh_u["systems"] = sys_u
+
+    x = state.x
+    veh_x = dict(x["vehicle"])
+    sys_x = dict(veh_x["systems"])
+    sys_x["fuel"] = jax.random.uniform(k_fuel, (batch,),
+                                       minval=fuel_range[0],
+                                       maxval=fuel_range[1])
+    veh_x["systems"] = sys_x
+    kin_x = dict(veh_x["kinematics"])
+    if "h_e" in kin_x:
+        kin_x["h_e"] = kin_x["h_e"] + h_jitter * jax.random.normal(k_h, (batch,))
+        veh_x["kinematics"] = kin_x
+    veh_u_out = dict(u, vehicle=veh_u)
+    return state._replace(x=dict(x, vehicle=veh_x), u=veh_u_out)
+
+
+# ------------------------------------------------------------- mesh DP
+
+def shard_fleet(state, mesh_axis="dp", devices=None):
+    """Place a batched SimState with the fleet axis sharded over a 1-D mesh.
+    Returns (mesh, sharded_state)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if devices is None:
+        devices = jax.devices()
+    mesh = Mesh(np.asarray(devices), (mesh_axis,))
+    sharding = NamedSharding(mesh, P(mesh_axis))
+    return mesh, jax.device_put(state, sharding)
+
+
+def sharded_rollout_fn(sim, mesh, n_steps, ctx=(), mesh_axis="dp"):
+    """shard_map fleet rollout: per-shard vmapped scan + a pmean fleet
+    metric over ICI. Returns a jitted fn(state) -> (state, t_mean)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(st):
+        def body(s, _):
+            return jax.vmap(lambda q: sim.step(q, ctx))(s), None
+        st, _ = jax.lax.scan(body, st, None, length=n_steps)
+        t_mean = jax.lax.pmean(jnp.mean(st.t), axis_name=mesh_axis)
+        return st, t_mean
+
+    spec = P(mesh_axis)
+
+    def wrapped(state):
+        specs = jax.tree.map(lambda _: spec, state)
+        return shard_map(local, mesh=mesh, in_specs=(specs,),
+                         out_specs=(specs, P()))(state)
+
+    return jax.jit(wrapped)

@@ -248,6 +248,68 @@ class SimpleWorld(Component):
 
 # ------------------------------------------------------------------- trim
 
+def make_gauss_newton_solver(residual_fn, lb, ub, iters=30, batched=False):
+    """Build a reusable bounded Gauss-Newton solver: returns
+    `solve(x0, *args) -> (x, residual_norm)` where `residual_fn(x, *args)`.
+    The jitted kernels are created once, so repeated solves with different
+    `args` (e.g. different trim conditions) hit the jit cache instead of
+    recompiling (the envelope sweep calls this 28 times)."""
+    lb = jnp.asarray(lb, dtype=float)
+    ub = jnp.asarray(ub, dtype=float)
+    scales = jnp.asarray([1.0, 0.5, 0.25, 0.125])
+
+    def _step(x, *args):
+        r = residual_fn(x, *args)
+        J = jax.jacfwd(residual_fn)(x, *args)
+        JtJ = J.T @ J
+        dx = jnp.linalg.solve(JtJ + 1e-12 * jnp.eye(x.shape[-1]), -(J.T @ r))
+        return jnp.sum(r * r), dx
+
+    def _probe(x, dx, *args):
+        def c(scale):
+            x_try = jnp.clip(x + scale * dx, lb, ub)
+            r = residual_fn(x_try, *args)
+            return jnp.sum(r * r)
+        return jax.vmap(c)(scales)
+
+    def _norm2(x, *args):
+        r = residual_fn(x, *args)
+        return jnp.sum(r * r)
+
+    if batched:
+        bax = lambda n: (0,) * n + (None,)
+        _step_v = lambda x, *args: jax.vmap(
+            lambda xi: _step(xi, *args))(x)
+        _probe_v = lambda x, dx, *args: jax.vmap(
+            lambda xi, dxi: _probe(xi, dxi, *args))(x, dx)
+        _norm2_v = lambda x, *args: jax.vmap(
+            lambda xi: _norm2(xi, *args))(x)
+        step = jax.jit(_step_v)
+        probe = jax.jit(_probe_v)
+        norm2 = jax.jit(_norm2_v)
+    else:
+        step = jax.jit(_step)
+        probe = jax.jit(_probe)
+        norm2 = jax.jit(_norm2)
+
+    def solve(x0, *args):
+        x = jnp.clip(jnp.asarray(x0, dtype=float), lb, ub)
+        for _ in range(iters):
+            c0, dx = step(x, *args)
+            costs = probe(x, dx, *args)
+            best = jnp.argmin(costs, axis=-1)
+            best_c = jnp.take_along_axis(costs, best[..., None], axis=-1)[..., 0]
+            scale = scales[best]
+            x_new = jnp.clip(x + scale[..., None] * dx if batched
+                             else x + scale * dx, lb, ub)
+            improved = best_c < c0
+            x = jnp.where(improved[..., None] if batched else improved,
+                          x_new, x)
+        return x, jnp.sqrt(norm2(x, *args))
+
+    return solve
+
+
 def trim_gauss_newton(residual_fn, x0, lb, ub, iters=30, batched=False):
     """Bounded damped Gauss-Newton root solve of `residual_fn` (n-in/n-out or
     m>=n), replacing the reference's NLopt BOBYQA cost minimization
