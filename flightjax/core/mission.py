@@ -21,6 +21,11 @@ class Phase(NamedTuple):
 
     apply(u_avionics, veh_y, t) -> u_avionics : input overrides while active
     done(veh_y, t) -> bool scalar             : advance to the next phase
+
+    Only the CURRENT phase's apply runs each firing, so each phase must
+    specify its complete override set (overrides do not accumulate across
+    phases) — exactly like the reference's per-phase callback branches
+    (`c172_demos.jl:406-660`).
     """
     name: str
     apply: Callable

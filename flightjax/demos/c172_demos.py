@@ -68,7 +68,9 @@ def turning_climb(t_end=600.0, dt=0.01, EAS_ref=40.0, clm_ref=2.0,
     sim = Simulation(world, dt=dt, periodic_dt=dt)
     state, ts, rnorm = c172x.trim_world(aircraft, C172.trim_parameters(),
                                         periodic_dt=dt)
-    assert float(rnorm) < 1e-8
+    # f64 trims to ~1e-15; f32 (TPU default) bottoms out near 1e-6
+    tol = 1e-8 if jnp.asarray(0.0).dtype == jnp.float64 else 3e-5
+    assert float(rnorm) < tol, float(rnorm)
 
     # engage EAS_clm + chi_beta, blow some wind
     av = {"lon": dict(state.u["avionics"]["lon"]),

@@ -283,14 +283,17 @@ def trim_world(aircraft: Aircraft, tp: C172.TrimParameters = None,
     (`c172x_ctl.jl:463-519`). Returns (SimState, trim_state, residual_norm)."""
     from flightjax.core.sim import SimState
 
-    x, u, s, ts, rnorm = trim(aircraft.vehicle, tp)
-    x_w, u_w = {"vehicle": x}, {"vehicle": u}
-    s_w = {"vehicle": s, "terminated": jnp.asarray(False)}
-    if aircraft.avionics is not None:
-        _, veh_y = aircraft.vehicle.f_ode(x, u, s, 0.0)
-        av_u, av_s = aircraft.avionics.init_from_trim(veh_y, periodic_dt)
-        u_w["avionics"] = av_u
-        s_w["avionics"] = av_s
+    # trim + bumpless avionics startup are eager design-time work: pin them
+    # to the host CPU (pathologically slow over a remote-accelerator tunnel)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        x, u, s, ts, rnorm = trim(aircraft.vehicle, tp)
+        x_w, u_w = {"vehicle": x}, {"vehicle": u}
+        s_w = {"vehicle": s, "terminated": jnp.asarray(False)}
+        if aircraft.avionics is not None:
+            _, veh_y = aircraft.vehicle.f_ode(x, u, s, 0.0)
+            av_u, av_s = aircraft.avionics.init_from_trim(veh_y, periodic_dt)
+            u_w["avionics"] = av_u
+            s_w["avionics"] = av_s
     state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
                      x=x_w, u=u_w, s=s_w)
     return state, ts, rnorm
