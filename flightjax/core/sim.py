@@ -149,14 +149,20 @@ class Simulation:
     # ------------------------------------------------------------------- run
 
     def run(self, state: SimState, t_end, ctx=(), save_every=1, save_y=True,
-            t0=None):
+            t0=None, dispatch_blocks=None):
         """Scan the step function until t_end. Returns (final_state,
         TimeSeries) where the TimeSeries holds every `save_every`-th step's
         (t, y) — the reference's `saveat` thinning (`sim.jl:211`).
         With save_y=False only t is logged (cheapest; no extra f_ode).
 
         The step count must be static: when calling `run` inside jit (where
-        `state.t` is traced), pass the known start time as `t0`."""
+        `state.t` is traced), pass the known start time as `t0`.
+
+        `dispatch_blocks`: cap on save blocks per device dispatch. Long runs
+        as one XLA execution can exceed accelerator watchdog limits (the
+        600 s autopilot flight is ~60 s of device time in one dispatch);
+        with a cap, the outer loop runs host-side over identical jitted
+        chunks (one compilation, many short dispatches)."""
         if t0 is None:
             try:
                 t0 = float(state.t)
@@ -175,7 +181,25 @@ class Simulation:
             y = self.output(st, ctx) if save_y else None
             return st, (st.t, y)
 
-        state, (ts, ys) = jax.lax.scan(body, state, None, length=n_blocks)
+        def scan_blocks(st, k):
+            return jax.lax.scan(body, st, None, length=k)
+
+        if dispatch_blocks is None or n_blocks <= dispatch_blocks:
+            state, (ts, ys) = scan_blocks(state, n_blocks)
+        else:
+            chunk = jax.jit(partial(scan_blocks, k=dispatch_blocks))
+            logs = []
+            done = 0
+            while done + dispatch_blocks <= n_blocks:
+                state, log = chunk(state)
+                logs.append(log)
+                done += dispatch_blocks
+            if done < n_blocks:
+                state, log = scan_blocks(state, n_blocks - done)
+                logs.append(log)
+            ts = jnp.concatenate([l[0] for l in logs])
+            ys = (jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                               *[l[1] for l in logs]) if save_y else None)
         for _ in range(rem):
             state = self.step(state, ctx)
         return state, TimeSeries(ts, ys)

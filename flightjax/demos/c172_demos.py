@@ -86,7 +86,8 @@ def turning_climb(t_end=600.0, dt=0.01, EAS_ref=40.0, clm_ref=2.0,
     u["vehicle"] = veh_u
     state = state._replace(u=u)
 
-    final, log = sim.run(state, t_end=t_end, t0=0.0, save_every=save_every)
+    final, log = sim.run(state, t_end=t_end, t0=0.0, save_every=save_every,
+                         dispatch_blocks=10)
     return final, log
 
 
