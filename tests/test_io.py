@@ -162,3 +162,53 @@ def test_realtime_loop_headless():
     final = loop.run(t_end=0.5, pace=float("inf"))
     assert float(final.t) >= 0.5
     assert sink.count > 0
+
+
+def test_telecommand_json_roundtrip():
+    """ControlLaws u <-> JSON (`c172x_ctl.jl:522-533`)."""
+    import os
+    from flightjax.models.c172.c172x_design import GAINS_PATH
+    if not os.path.exists(GAINS_PATH):
+        pytest.skip("gains not generated")
+    from flightjax.models.c172.c172x_ctl import ControlLaws, LON_EAS_ALT
+    from flightjax.models.c172.mappings import (ctl_u_from_json,
+                                                ctl_u_to_json)
+
+    ctl = ControlLaws()
+    u = ctl.init_u()
+    # round trip preserves everything
+    u2 = ctl_u_from_json(u, ctl_u_to_json(u))
+    for side in ("lon", "lat"):
+        for k in u[side]:
+            assert float(u2[side][k]) == float(u[side][k]), (side, k)
+    # partial update merges
+    u3 = ctl_u_from_json(u, '{"lon": {"mode_req": 8, "EAS_ref": 45.0}}')
+    assert int(u3["lon"]["mode_req"]) == LON_EAS_ALT
+    assert float(u3["lon"]["EAS_ref"]) == 45.0
+    assert float(u3["lat"]["chi_ref"]) == float(u["lat"]["chi_ref"])
+    # malformed input rejected
+    with pytest.raises(InputMappingError):
+        ctl_u_from_json(u, '{"lon": {"bogus": 1}}')
+    with pytest.raises(InputMappingError):
+        ctl_u_from_json(u, 'not json')
+
+
+def test_joystick_mapping_c172sv0():
+    from flightjax.io.joystick import ButtonState
+    from flightjax.models.c172 import c172s
+    from flightjax.models.c172.mappings import C172Sv0JoystickMapping
+
+    world = c172s.flagship_world("wa")
+    # build a minimal u tree
+    u = {"vehicle": world.aircraft.vehicle.init_u()}
+    btn = ButtonState(pressed=np.zeros(16, bool),
+                      was_pressed=np.zeros(16, bool),
+                      was_released=np.zeros(16, bool))
+    data = dict(axes=np.array([0.5, -0.5, 0.0, -1.0]), buttons=btn, hat=0)
+    u2 = C172Sv0JoystickMapping().assign_input(u, data)
+    act = u2["vehicle"]["systems"]["act"]
+    assert float(act["throttle"]) == 1.0          # axis -1 -> full throttle
+    assert float(act["aileron"]) > 0.1            # right stick -> right roll
+    assert float(act["elevator"]) < -0.1
+    with pytest.raises(InputMappingError):
+        C172Sv0JoystickMapping().assign_input(u, {"bad": 1})
