@@ -43,6 +43,8 @@ def main():
 
     state = roll(state)  # compile + warm up
     jax.block_until_ready(state)
+    state = roll(state)  # second warm-up: absorbs one-time layout shuffling
+    jax.block_until_ready(state)
 
     n_calls = 5
     t0 = time.perf_counter()
