@@ -1,0 +1,245 @@
+"""Host-side GUI: a dependency-free web dashboard renderer.
+
+TPU-native equivalent of the reference's Dear ImGui layer
+(`/root/reference/lib/FlightCore/src/gui.jl`). The reference's `Renderer`
+is an `IODevice` owning an ImGui context + GLFW window + OpenGL3 backend
+(`gui.jl:53-153`) whose `render!` runs one immediate-mode frame calling a
+user draw function (`gui.jl:173-209`). Here the renderer is a small
+threaded HTTP server (stdlib only — the build environment has no display
+and no GL stack) serving an immediate-mode web page:
+
+- the *draw protocol* is a pure function `f_draw(snapshot, y) -> [widgets]`
+  returning a declarative widget list each refresh (the web analog of
+  `GUI.draw!`, `gui.jl:243-246`);
+- the *widget kit* mirrors `gui.jl:286-368` by name and semantics:
+  `mode_button` (3-state requested/active coloring, `gui.jl:325-343`),
+  `dynamic_button`, `toggle_switch`, `display_bar`, `safe_slider`,
+  `safe_input`;
+- widget interactions are POSTed back and surface through the standard
+  `InputDevice.get_data` path, so a `Renderer` attaches to the
+  `RealTimeLoop` exactly like a joystick, with an `IOMapping` deciding how
+  events mutate the input pytree (`iodevices.jl:38-51`);
+- the refresh period plays the role of `sync` vsync control
+  (`gui.jl:116-124`; pacing in `sim.jl:241-247`).
+
+Endpoints: `GET /` page, `GET /frame` JSON widget frame, `POST /event`
+widget interaction, `GET /snapshot` raw latest state snapshot.
+"""
+
+import colorsys
+import json
+import math
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from flightjax.io.devices import InputDevice, OutputDevice
+
+# reference HSV palette (`gui.jl:270-273`)
+HSV_gray = (0.0, 0.0, 0.3)
+HSV_amber = (0.13, 0.6, 0.6)
+HSV_green = (0.4, 0.6, 0.6)
+HSV_red = (0.0, 0.7, 0.7)
+
+
+def _css(hsv):
+    r, g, b = colorsys.hsv_to_rgb(*hsv)
+    return f"rgb({int(255*r)},{int(255*g)},{int(255*b)})"
+
+
+def _num(x):
+    x = float(x)
+    return 0.0 if math.isnan(x) else x
+
+
+# ------------------------------------------------------------- widget kit
+
+
+def text(label):
+    return {"kind": "text", "label": str(label)}
+
+
+def dynamic_button(label, hsv=HSV_gray, id=None):
+    """Momentary push button (`gui.jl:298-323`); emits (id, True) on click."""
+    return {"kind": "button", "label": label, "id": id or label,
+            "color": _css(hsv)}
+
+
+def mode_button(label, mode, requested, active, id=None):
+    """3-state mode selector (`gui.jl:325-343`): gray = idle, amber =
+    requested-but-not-active, green = active. Emits (id, mode) on click."""
+    hsv = HSV_green if active == mode else (
+        HSV_amber if requested == mode else HSV_gray)
+    return {"kind": "button", "label": label, "id": id or label,
+            "value": mode, "color": _css(hsv)}
+
+
+def toggle_switch(label, enabled, hue=0.4, id=None):
+    """On/off switch colored by state (`gui.jl:286-296`); emits (id, bool)."""
+    return {"kind": "toggle", "label": label, "id": id or label,
+            "value": bool(enabled), "hue": hue}
+
+
+def display_bar(label, value, lo=0.0, hi=1.0):
+    """Read-only progress bar with numeric overlay (`gui.jl:345-350`)."""
+    return {"kind": "bar", "label": label, "value": _num(value),
+            "lo": _num(lo), "hi": _num(hi)}
+
+
+def safe_slider(label, value, lo=-1.0, hi=1.0, id=None):
+    """Slider that writes only while the user holds it (`gui.jl:352-360`);
+    emits (id, float)."""
+    return {"kind": "slider", "label": label, "id": id or label,
+            "value": _num(value), "lo": _num(lo), "hi": _num(hi)}
+
+
+def safe_input(label, value, id=None):
+    """Numeric input committing on enter (`gui.jl:362-368`)."""
+    return {"kind": "input", "label": label, "id": id or label,
+            "value": _num(value)}
+
+
+_PAGE = """<!doctype html><html><head><meta charset="utf-8">
+<title>flightjax</title><style>
+body{background:#15181d;color:#cfd6e1;font:13px monospace;margin:14px}
+.w{margin:3px 0}.lbl{display:inline-block;min-width:160px}
+button{border:0;border-radius:3px;color:#fff;padding:4px 10px;margin:2px;
+cursor:pointer;font:inherit}
+.bar{display:inline-block;width:220px;height:14px;background:#262b33;
+border-radius:3px;vertical-align:middle;position:relative}
+.bar>div{height:100%;background:rgb(40,150,90);border-radius:3px}
+.bar>span{position:absolute;left:6px;top:0;font-size:11px;color:#fff}
+input[type=range]{width:220px;vertical-align:middle}
+input[type=number]{width:90px;background:#262b33;color:#cfd6e1;border:1px
+solid #3a4150}</style></head><body><div id="root">connecting…</div><script>
+const post=(id,value)=>fetch('/event',{method:'POST',
+  body:JSON.stringify({id,value})});
+let held=null;
+function render(frame){
+  const root=document.getElementById('root');root.innerHTML='';
+  for(const w of frame){
+    const d=document.createElement('div');d.className='w';
+    if(w.kind==='text'){d.textContent=w.label;}
+    else if(w.kind==='button'){const b=document.createElement('button');
+      b.textContent=w.label;b.style.background=w.color;
+      b.onclick=()=>post(w.id,'value' in w?w.value:true);d.appendChild(b);}
+    else if(w.kind==='toggle'){const b=document.createElement('button');
+      b.textContent=w.label+(w.value?' ●':' ○');
+      b.style.background=w.value?'rgb(40,150,90)':'rgb(70,76,87)';
+      b.onclick=()=>post(w.id,!w.value);d.appendChild(b);}
+    else if(w.kind==='bar'){const f=(w.value-w.lo)/(w.hi-w.lo||1);
+      d.innerHTML=`<span class="lbl">${w.label}</span>`+
+      `<span class="bar"><div style="width:${Math.max(0,Math.min(1,f))*100}%">`+
+      `</div><span>${w.value.toFixed(3)}</span></span>`;}
+    else if(w.kind==='slider'){const s=document.createElement('input');
+      s.type='range';s.min=w.lo;s.max=w.hi;s.step=(w.hi-w.lo)/200;s.value=w.value;
+      s.oninput=()=>{held=w.id;post(w.id,parseFloat(s.value));};
+      s.onchange=()=>{held=null;};
+      d.innerHTML=`<span class="lbl">${w.label}</span>`;d.appendChild(s);}
+    else if(w.kind==='input'){const s=document.createElement('input');
+      s.type='number';s.value=w.value;
+      s.onchange=()=>post(w.id,parseFloat(s.value));
+      d.innerHTML=`<span class="lbl">${w.label}</span>`;d.appendChild(s);}
+    root.appendChild(d);}}
+async function tick(){try{const r=await fetch('/frame');
+  if(r.ok)render(await r.json());}catch(e){}
+  setTimeout(tick,%REFRESH%);}
+tick();</script></body></html>"""
+
+
+class Renderer(InputDevice, OutputDevice):
+    """GUI device: input (widget events) and output (state snapshots) in one,
+    like the reference Renderer (`gui.jl:53-209`). Attach with a mapping
+    whose `extract_output` builds the widget frame (or pass `f_draw`).
+
+    `refresh` is the browser poll period in seconds (the `sync` analog).
+    """
+
+    def __init__(self, address="127.0.0.1", port=0, f_draw=None, refresh=0.1):
+        self.address = address
+        self.port = port
+        self.f_draw = f_draw
+        self.refresh = refresh
+        self._events = queue.Queue()
+        self._frame = [text("no frame yet")]
+        self._lock = threading.Lock()
+        self._server = None
+        self._closing = False
+
+    # ------------------------------------------------------------ lifecycle
+
+    def init(self):
+        if self._server is not None:  # idempotent: bind once, report port
+            return
+        gui = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, body, ctype="application/json"):
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/":
+                    page = _PAGE.replace("%REFRESH%",
+                                         str(int(gui.refresh * 1000)))
+                    self._send(page.encode(), "text/html")
+                elif self.path == "/frame":
+                    with gui._lock:
+                        body = json.dumps(gui._frame).encode()
+                    self._send(body)
+                else:
+                    self.send_error(404)
+
+            def do_POST(self):
+                if self.path == "/event":
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        ev = json.loads(self.rfile.read(n))
+                        gui._events.put((ev["id"], ev["value"]))
+                    except (ValueError, KeyError):
+                        pass  # malformed: tolerate (`iodevices.jl:53-69`)
+                    self._send(b"{}")
+                else:
+                    self.send_error(404)
+
+        self._server = ThreadingHTTPServer((self.address, self.port), Handler)
+        self.port = self._server.server_address[1]
+        threading.Thread(target=self._server.serve_forever,
+                         daemon=True).start()
+
+    def shutdown(self):
+        self._closing = True
+        if self._server is not None:
+            self._server.shutdown()
+            self._server = None
+
+    def should_close(self):
+        return self._closing
+
+    def interrupt(self):
+        self._closing = True
+        self._events.put(None)  # unblock get_data
+
+    # ------------------------------------------------------------- IO sides
+
+    def get_data(self):
+        """Blocks for the next widget interaction: (widget_id, value)."""
+        ev = self._events.get()
+        return None if ev is None or self._closing else ev
+
+    def handle_data(self, data):
+        """Accept the next frame: either a ready widget list, or a raw
+        snapshot run through `f_draw` (one immediate-mode frame,
+        `gui.jl:173-209`)."""
+        if self.f_draw is not None and not (
+                isinstance(data, list) and data
+                and isinstance(data[0], dict) and "kind" in data[0]):
+            data = self.f_draw(data)
+        with self._lock:
+            self._frame = list(data)

@@ -103,15 +103,22 @@ class RealTimeLoop:
         for iface in self.interfaces:
             iface.device.init()
 
-        from flightjax.io.devices import InputDevice
+        from flightjax.io.devices import InputDevice, OutputDevice
 
         threads = []
         for iface in self.interfaces:
-            fn = (self._input_thread if isinstance(iface.device, InputDevice)
-                  else self._output_thread)
-            th = threading.Thread(target=fn, args=(iface,), daemon=True)
-            th.start()
-            threads.append(th)
+            # a device may be both (e.g. the GUI Renderer renders snapshots
+            # out and feeds widget events in) — one thread per side, like
+            # the reference's input/output/GUI SimInterfaces (sim.jl:100-166)
+            fns = []
+            if isinstance(iface.device, InputDevice):
+                fns.append(self._input_thread)
+            if isinstance(iface.device, OutputDevice):
+                fns.append(self._output_thread)
+            for fn in fns:
+                th = threading.Thread(target=fn, args=(iface,), daemon=True)
+                th.start()
+                threads.append(th)
 
         t_wall0 = time.monotonic()
         dt = self.sim.dt
