@@ -8,8 +8,17 @@ Mirrors `/root/reference/lib/FlightApps/demos/c172_demos.jl`:
   (`c172_demos.jl:214-259`)
 - `generic_simulation`: interactive run with X-Plane visualization
   (`:36-102`) via the real-time loop.
+- `crosswind_landing`: C172Xv2 final approach under 6 m/s crosswind with
+  segment guidance, flare, touchdown and braked rollout
+  (`c172_demos.jl:406-505`)
+- `traffic_pattern`: full scripted mission around LOWS runway 15 — cold
+  start, engine start, takeoff, 5-leg pattern, landing, rollout
+  (`c172_demos.jl:514-645`)
 
-Each headless scenario returns (final SimState, TimeSeries log).
+Each headless scenario returns (final SimState, TimeSeries log). The
+reference scripts missions through an imperative `user_callback!`; here
+they are pure in-graph phase machines (`flightjax.core.mission`), so a
+whole Monte Carlo fleet of missions can run vmapped.
 """
 
 import jax
@@ -115,3 +124,364 @@ def generic_simulation(t_end=60.0, pace=1.0, xplane_address="127.0.0.1",
     loop.attach(XPlane12Control(xplane_address, xplane_port), XPlaneMapping(),
                 period=0.05)
     return loop.run(t_end=t_end, pace=pace)
+
+
+# ---------------------------------------------------------- scripted missions
+
+# Salzburg LOWS runway 15 (`c172_demos.jl:16-19`); h is orthometric (HOrth)
+LAT_LOWS15 = np.deg2rad(47.80433)
+LON_LOWS15 = np.deg2rad(12.997)
+H_LOWS15 = 427.2
+PSI_LOWS15 = np.deg2rad(157.0)
+DH_TO_GND = 1.81          # gear-extended CoM height over ground (`c172.jl:488`)
+CAPTURE_THRESHOLD = -200.0  # along-track distance-to-go gate (`c172_demos.jl:523`)
+
+
+def _lows_pattern():
+    """Traffic-pattern legs around LOWS 15 (`c172_demos.jl:514-520`).
+    Built eagerly host-side in f64; altitudes ellipsoidal."""
+    from flightjax.models.c172 import c172x_gdc as GDC
+    from flightjax.ops import geodesy as geo
+
+    n_rwy = geo.nvector_from_latlon(jnp.asarray(LAT_LOWS15),
+                                    jnp.asarray(LON_LOWS15))
+    h_rwy = float(geo.ellip_from_orth(jnp.asarray(H_LOWS15), n_rwy))
+
+    def leg_to(p_latlon_h, chi, s, gamma):
+        lat, lon, h = p_latlon_h
+        return GDC.reversed_segment(
+            GDC.segment_from_vector(lat, lon, h, chi, s, gamma=gamma))
+
+    def p1_of(seg):
+        lat, lon = GDC.segment_latlon(seg.n_e1)
+        return lat, lon, float(seg.h_e1)
+
+    p_rwy = (LAT_LOWS15, LON_LOWS15, h_rwy)
+    final_leg = leg_to(p_rwy, PSI_LOWS15 + np.pi, 3e3, np.deg2rad(3))
+    base_leg = leg_to(p1_of(final_leg), PSI_LOWS15 - np.pi / 2, 1e3, 0.0)
+    downwind_leg = leg_to(p1_of(base_leg), PSI_LOWS15, 6e3, 0.0)
+    crosswind_leg = leg_to(p1_of(downwind_leg), PSI_LOWS15 + np.pi / 2, 1e3, 0.0)
+    cw = p1_of(crosswind_leg)
+    departure_leg = GDC.segment(LAT_LOWS15, LON_LOWS15, h_rwy,
+                                cw[0], cw[1], cw[2])
+    return {"final": final_leg, "base": base_leg, "downwind": downwind_leg,
+            "crosswind": crosswind_leg, "departure": departure_leg,
+            "h_rwy": h_rwy}
+
+
+def _mission_phase_lib(legs):
+    """Shared phase bodies for the landing/pattern missions
+    (`c172_demos.jl:424-485` and `:525-630`)."""
+    from flightjax.models.c172 import c172x_gdc as GDC
+    from flightjax.ops import attitude as att
+    from flightjax.physics.piston import ENG_RUNNING
+
+    final_leg = legs["final"]
+    h_rwy_end = float(final_leg.h_e2)
+
+    def fly_leg(leg, EAS_ref, throttle=None, vrt=True):
+        def apply(u, y, t):
+            gdc = dict(u["gdc"], mode_req=jnp.asarray(GDC.GDC_SEGMENT, jnp.int32),
+                       target=leg, hor_gdc_req=jnp.asarray(True),
+                       vrt_gdc_req=jnp.asarray(vrt))
+            lon = dict(u["ctl"]["lon"], EAS_ref=jnp.asarray(float(EAS_ref)))
+            if throttle is not None:
+                lon["throttle_axis"] = jnp.asarray(float(throttle))
+            return dict(u, gdc=gdc, ctl=dict(u["ctl"], lon=lon))
+        return apply
+
+    def captured(leg):
+        def done(y, t):
+            data = GDC.segment_data(leg, y.kinematics.n_e, y.kinematics.h_e)
+            return data.s_2b > CAPTURE_THRESHOLD
+        return done
+
+    def final_done(y, t):
+        return (y.kinematics.h_e - h_rwy_end) < 6.0
+
+    def flare_apply(u, y, t):
+        """Kill vertical guidance, shallow EAS+climb descent, decrab: the
+        sideslip reference is the current runway-relative crab angle
+        (`c172_demos.jl:450-462`; the reference freezes psi at the phase
+        transition, here it tracks — same decrab, smoother)."""
+        data = GDC.segment_data(final_leg, y.kinematics.n_e, y.kinematics.h_e)
+        gdc = dict(u["gdc"], mode_req=jnp.asarray(GDC.GDC_SEGMENT, jnp.int32),
+                   target=final_leg, hor_gdc_req=jnp.asarray(True),
+                   vrt_gdc_req=jnp.asarray(False))
+        lon = dict(u["ctl"]["lon"],
+                   mode_req=jnp.asarray(CTL.LON_EAS_CLM, jnp.int32),
+                   clm_ref=jnp.asarray(-0.3), EAS_ref=jnp.asarray(30.0))
+        lat = dict(u["ctl"]["lat"],
+                   mode_req=jnp.asarray(CTL.LAT_PHI_BETA, jnp.int32),
+                   beta_ref=att.wrap_to_pi(y.kinematics.e_nb[0] - data.chi_12),
+                   phi_ref=jnp.asarray(0.0))
+        return dict(u, gdc=gdc, ctl=dict(lon=lon, lat=lat))
+
+    def ground_apply(u, y, t):
+        """Idle + slight left rudder + brakes (`c172_demos.jl:466-479`)."""
+        gdc = dict(u["gdc"], mode_req=jnp.asarray(GDC.GDC_DIRECT, jnp.int32))
+        lon = dict(u["ctl"]["lon"], throttle_axis=jnp.asarray(0.0),
+                   mode_req=jnp.asarray(CTL.LON_DIRECT, jnp.int32))
+        lat = dict(u["ctl"]["lat"], rudder_axis=jnp.asarray(-0.04),
+                   mode_req=jnp.asarray(CTL.LAT_DIRECT, jnp.int32))
+        return dict(u, gdc=gdc, ctl=dict(lon=lon, lat=lat))
+
+    def flaps(setting):
+        def systems(u_sys):
+            return dict(u_sys, act=dict(u_sys["act"],
+                                        flaps=jnp.asarray(float(setting))))
+        return systems
+
+    def ground_systems(u_sys):
+        act = dict(u_sys["act"], flaps=jnp.asarray(0.0),
+                   brake_left=jnp.asarray(1.0), brake_right=jnp.asarray(1.0))
+        return dict(u_sys, act=act)
+
+    def engine_start(u_sys):
+        pwp = dict(u_sys["pwp"],
+                   engine=dict(u_sys["pwp"]["engine"],
+                               start=jnp.asarray(True)))
+        return dict(u_sys, pwp=pwp)
+
+    def engine_running(y, t):
+        return y.systems.pwp.engine.state == ENG_RUNNING
+
+    def on_gnd(y, t):
+        return CTL.is_on_gnd(y)
+
+    def airborne(y, t):
+        return jnp.logical_not(CTL.is_on_gnd(y))
+
+    return dict(fly_leg=fly_leg, captured=captured, final_done=final_done,
+                flare_apply=flare_apply, ground_apply=ground_apply,
+                flaps=flaps, ground_systems=ground_systems,
+                engine_start=engine_start, engine_running=engine_running,
+                on_gnd=on_gnd, airborne=airborne)
+
+
+def _mission_world(avionics_phases, gains=None):
+    """C172Xv2 + MissionAvionics world over LOWS-elevation flat terrain."""
+    from flightjax.core.mission import MissionAvionics
+    from flightjax.models.c172.c172x_gdc import Avionics
+    from flightjax.physics.aircraftbase import Aircraft, SimpleWorld
+    from flightjax.physics.terrain import HorizontalTerrain
+
+    vehicle = c172x.build_vehicle("wa", terrain=HorizontalTerrain(H_LOWS15))
+    avionics = MissionAvionics(Avionics(gains), avionics_phases)
+    return SimpleWorld(Aircraft(vehicle, avionics=avionics))
+
+
+def crosswind_landing(t_end=220.0, dt=0.02, wind_E=6.0, save_every=25,
+                      gains=None):
+    """Final approach + flare + rollout under crosswind
+    (`c172_demos.jl:406-505`). Trims on the final leg at EAS 30, full
+    flaps, -3 deg wind-relative slope; 6 m/s easterly crosswind."""
+    from flightjax.core.mission import Phase
+
+    legs = _lows_pattern()
+    lib = _mission_phase_lib(legs)
+    p1 = legs["final"].n_e1
+    from flightjax.ops import geodesy as geo
+    lat1, lon1 = (float(v) for v in geo.latlon_from_nvector(p1))
+
+    phases = [
+        Phase("final", lib["fly_leg"](legs["final"], 30.0), lib["final_done"],
+              systems=lib["flaps"](1.0)),
+        Phase("flare", lib["flare_apply"], lib["on_gnd"],
+              systems=lib["flaps"](1.0)),
+        Phase("ground", lib["ground_apply"], lambda y, t: jnp.asarray(False),
+              systems=lib["ground_systems"]),
+    ]
+    world = _mission_world(phases, gains)
+    sim = Simulation(world, dt=dt, periodic_dt=dt)
+
+    tp = C172.trim_parameters(lat=lat1, lon=lon1, h=float(legs["final"].h_e1),
+                              psi_nb=PSI_LOWS15, EAS=30.0,
+                              gamma=-np.deg2rad(3), flaps=1.0, fuel_load=0.5)
+    state, ts, rnorm = c172x.trim_world(world.aircraft, tp, periodic_dt=dt)
+
+    veh_u = dict(state.u["vehicle"])
+    veh_u["atm"] = dict(veh_u["atm"],
+                        wind=jnp.asarray([0.0, float(wind_E), 0.0]))
+    state = state._replace(u=dict(state.u, vehicle=veh_u))
+
+    final, log = sim.run(state, t_end=t_end, t0=0.0, save_every=save_every,
+                         dispatch_blocks=20)
+    return final, log
+
+
+def traffic_pattern(t_end=700.0, dt=0.02, save_every=50, gains=None):
+    """Full scripted mission around LOWS 15 (`c172_demos.jl:514-645`):
+    standby 5 s -> engine start -> full-throttle takeoff on the departure
+    leg -> crosswind -> downwind (EAS 50) -> base (EAS 30, flaps) ->
+    final -> flare -> braked rollout. Starts cold on the runway."""
+    from flightjax.core.mission import Phase
+    from flightjax.core.sim import SimState
+    from flightjax.physics.kinematics import kin_init
+
+    legs = _lows_pattern()
+    lib = _mission_phase_lib(legs)
+    hold = lambda u, y, t: u
+
+    phases = [
+        Phase("standby", hold, lambda y, t: t >= 5.0),
+        Phase("startup", hold, lib["engine_running"],
+              systems=lib["engine_start"]),
+        Phase("takeoff", lib["fly_leg"](legs["departure"], 35.0, throttle=1.0),
+              lib["airborne"]),
+        Phase("departure",
+              lib["fly_leg"](legs["departure"], 35.0, throttle=1.0),
+              lib["captured"](legs["departure"])),
+        Phase("crosswind",
+              lib["fly_leg"](legs["crosswind"], 35.0, throttle=1.0),
+              lib["captured"](legs["crosswind"])),
+        Phase("downwind", lib["fly_leg"](legs["downwind"], 50.0),
+              lib["captured"](legs["downwind"])),
+        Phase("base", lib["fly_leg"](legs["base"], 30.0),
+              lib["captured"](legs["base"]), systems=lib["flaps"](1.0)),
+        Phase("final", lib["fly_leg"](legs["final"], 30.0),
+              lib["final_done"], systems=lib["flaps"](1.0)),
+        Phase("flare", lib["flare_apply"], lib["on_gnd"],
+              systems=lib["flaps"](1.0)),
+        Phase("ground", lib["ground_apply"], lambda y, t: jnp.asarray(False),
+              systems=lib["ground_systems"]),
+    ]
+    world = _mission_world(phases, gains)
+    sim = Simulation(world, dt=dt, periodic_dt=dt)
+
+    # cold start on the runway threshold (`c172_demos.jl:634-640`)
+    ic = kin_init(lat=LAT_LOWS15, lon=LON_LOWS15, h=H_LOWS15 + DH_TO_GND,
+                  h_datum="orthometric", euler=[PSI_LOWS15, 0.0, 0.0])
+    x, u, s = world.init(kin_init=ic, fuel=0.5)
+    state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
+                     x=x, u=u, s=s)
+
+    final, log = sim.run(state, t_end=t_end, t0=0.0, save_every=save_every,
+                         dispatch_blocks=20)
+    return final, log
+
+
+# ------------------------------------------------- linear-vs-nonlinear, UDP
+
+def nlsim_q(amplitude=0.1, t_pulse=1.0, t_end=10.0, dt=0.02):
+    """Nonlinear C172X vs its NED linearization under the same elevator
+    pulse (`c172_demos.jl:108-206`, mode q comparison). Returns
+    (ts_nonlinear, q_nonlinear, ts_linear, q_linear)."""
+    from flightjax.physics.linearization import LinearStateSpace
+
+    tp = C172.trim_parameters()
+    lss, _, _ = c172x.linearize_ned(tp)
+
+    # --- nonlinear: elevator pulse on the NED aircraft at the same trim
+    from flightjax.physics.aircraftbase import SimpleWorld
+    aircraft = c172x.build_aircraft("ned")
+    world = SimpleWorld(aircraft)
+    x0, u0, s0, _, _ = c172x.trim(aircraft.vehicle, tp)
+    sim = Simulation(world, dt=dt)
+    state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
+                     x={"vehicle": x0}, u={"vehicle": u0},
+                     s={"vehicle": s0, "terminated": jnp.asarray(False)})
+
+    def with_delta(st, delta):
+        act = dict(st.u["vehicle"]["systems"]["act"])
+        act["elevator"] = act["elevator"] + delta
+        sys_u = dict(st.u["vehicle"]["systems"], act=act)
+        return st._replace(u={"vehicle": dict(st.u["vehicle"],
+                                              systems=sys_u)})
+
+    logs = []
+    t0 = 0.0
+    for delta, dur in [(amplitude, t_pulse), (-amplitude, t_end - t_pulse)]:
+        state = with_delta(state, delta)
+        state, log = sim.run(state, t_end=t0 + dur, t0=t0, save_every=2)
+        logs.append(log)
+        state = with_delta(state, -delta)
+        t0 += dur
+    t_nl = jnp.concatenate([l.t for l in logs])
+    q_nl = jnp.concatenate(
+        [l.y.aircraft.vehicle.kinematics.omega_wb_b[:, 1] for l in logs])
+
+    # --- linear: same pulse through the LinearStateSpace component
+    lin = LinearStateSpace(lss)
+    lsim = Simulation(lin, dt=dt)
+    lstate = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
+                      x=lin.init_x(), u=lin.init_u(), s=None)
+    i_ele = list(lss.u_labels).index("elevator_cmd")
+    i_q = list(lss.y_labels).index("q")
+    llogs = []
+    t0 = 0.0
+    for delta, dur in [(amplitude, t_pulse), (-amplitude, t_end - t_pulse)]:
+        lstate = lstate._replace(u=lstate.u.at[i_ele].add(delta))
+        lstate, log = lsim.run(lstate, t_end=t0 + dur, t0=t0, save_every=2)
+        llogs.append(log)
+        lstate = lstate._replace(u=lstate.u.at[i_ele].add(-delta))
+        t0 += dur
+    t_l = jnp.concatenate([l.t for l in llogs])
+    q_l = jnp.concatenate([l.y[:, i_q] for l in llogs])
+    return t_nl, q_nl, t_l, q_l
+
+
+def json_loopback(t_end=10.0, pace=30.0, port_cmd=49017, port_tlm=49018):
+    """UDP JSON telecommand loopback (`c172_demos.jl:318-400`): a paced
+    C172Xv1 run whose control-law inputs arrive as JSON over UDP and whose
+    state is streamed back out as JSON — both ends over localhost inside
+    this process. Returns the received telemetry lines."""
+    import json as _json
+    import threading
+    import time as _time
+
+    from flightjax.io.network import UDPInput, UDPOutput
+    from flightjax.io.realtime import RealTimeLoop
+    from flightjax.models.c172.mappings import (TelecommandMapping,
+                                                TelemetryMapping)
+    from flightjax.physics.aircraftbase import SimpleWorld
+
+    aircraft = c172x.build_xv1("wa")
+    world = SimpleWorld(aircraft)
+    sim = Simulation(world, dt=0.02, periodic_dt=0.02)
+    state, _, _ = c172x.trim_world(aircraft, C172.trim_parameters())
+
+    loop = RealTimeLoop(sim, state)
+    loop.attach(UDPInput(port=port_cmd), TelecommandMapping(), period=0.1)
+    loop.attach(UDPOutput(port=port_tlm), TelemetryMapping(), period=0.1)
+
+    # external-side loopback threads (the reference runs these as separate
+    # Simulations; a plain socket pair shows the same protocol)
+    received = []
+
+    def telemetry_rx():
+        import socket
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.settimeout(0.5)
+        sock.bind(("127.0.0.1", port_tlm))
+        while len(received) < 20:
+            try:
+                data, _ = sock.recvfrom(65536)
+            except OSError:
+                if loop.control.abort:
+                    break
+                continue
+            if data == b"\x04":
+                break
+            received.append(_json.loads(data.decode()))
+        sock.close()
+
+    def command_tx():
+        import socket
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        _time.sleep(0.3)
+        cmd = {"lon": {"mode_req": 8, "EAS_ref": 45.0, "h_ref": 1100.0},
+               "lat": {"mode_req": 4, "chi_ref": 0.5}}
+        for _ in range(5):
+            sock.sendto(_json.dumps(cmd).encode(), ("127.0.0.1", port_cmd))
+            _time.sleep(0.2)
+        sock.close()
+
+    rx = threading.Thread(target=telemetry_rx, daemon=True)
+    tx = threading.Thread(target=command_tx, daemon=True)
+    rx.start()
+    tx.start()
+    loop.run(t_end=t_end, pace=pace)
+    rx.join(timeout=2)
+    tx.join(timeout=2)
+    return received

@@ -33,10 +33,26 @@ def robot2d_sim(t_end=100.0, v_ref=0.5, gui=False, gui_port=8085):
     from flightjax.io.devices import IOMapping
     from flightjax.io.realtime import RealTimeLoop
 
+    import math
+
     def f_draw(data):
+        """Live dashboard incl. the robot side-view canvas — wheel + tilted
+        body, mirroring the reference's ImGui draw list
+        (`robot2d.jl:141-199`)."""
         snapshot, y = data
+        eta = float(y.vehicle.eta)
+        th = float(y.vehicle.theta)
+        cx = 0.5 + 0.1 * (eta - round(eta / 2.0) * 2.0)  # wrap view
+        cy, r, L = 0.25, 0.06, 0.35
+        tip = (cx + L * math.sin(th), cy + L * math.cos(th))
+        shapes = [
+            {"line": [0.0, cy - r, 1.0, cy - r], "color": "#4a5160"},
+            {"circle": [cx, cy, r]},
+            {"line": [cx, cy, tip[0], tip[1]], "color": "#d9b44a"},
+        ]
         return [
             G.text(f"robot2d  t = {float(snapshot.t):7.2f} s"),
+            G.canvas(shapes),
             G.display_bar("v (m/s)", y.vehicle.v, -2.0, 2.0),
             G.display_bar("theta (rad)", y.vehicle.theta, -0.8, 0.8),
             G.safe_slider("v_ref", float(snapshot.u["ctl"]["v_ref"]),

@@ -99,6 +99,23 @@ def safe_input(label, value, id=None):
             "value": _num(value)}
 
 
+def canvas(shapes, width=360, height=240):
+    """2-D vector canvas (the web analog of the reference's custom ImGui
+    draw-list canvas, `robot2d.jl:141-199`). `shapes` is a list of dicts:
+    {"line": [x1,y1,x2,y2]}, {"circle": [cx,cy,r]}, {"poly": [x1,y1,...]},
+    each optionally with "color". Coordinates are in [0,1]x[0,1], origin
+    bottom-left."""
+    out = []
+    for s in shapes:
+        d = dict(s)
+        for key in ("line", "circle", "poly"):
+            if key in d:
+                d[key] = [_num(v) for v in d[key]]
+        out.append(d)
+    return {"kind": "canvas", "shapes": out, "w": int(width),
+            "h": int(height)}
+
+
 _PAGE = """<!doctype html><html><head><meta charset="utf-8">
 <title>flightjax</title><style>
 body{background:#15181d;color:#cfd6e1;font:13px monospace;margin:14px}
@@ -140,6 +157,20 @@ function render(frame){
       s.type='number';s.value=w.value;
       s.onchange=()=>post(w.id,parseFloat(s.value));
       d.innerHTML=`<span class="lbl">${w.label}</span>`;d.appendChild(s);}
+    else if(w.kind==='canvas'){const c=document.createElement('canvas');
+      c.width=w.w;c.height=w.h;c.style.background='#0d0f13';
+      const g=c.getContext('2d');
+      const X=x=>x*w.w, Y=y=>(1-y)*w.h;
+      for(const s of w.shapes){g.strokeStyle=g.fillStyle=s.color||'#6ec87a';
+        g.lineWidth=2;g.beginPath();
+        if(s.line){g.moveTo(X(s.line[0]),Y(s.line[1]));
+          g.lineTo(X(s.line[2]),Y(s.line[3]));g.stroke();}
+        else if(s.circle){g.arc(X(s.circle[0]),Y(s.circle[1]),
+          s.circle[2]*w.w,0,2*Math.PI);g.stroke();}
+        else if(s.poly){g.moveTo(X(s.poly[0]),Y(s.poly[1]));
+          for(let i=2;i<s.poly.length;i+=2)g.lineTo(X(s.poly[i]),Y(s.poly[i+1]));
+          g.closePath();g.stroke();}}
+      d.appendChild(c);}
     root.appendChild(d);}}
 async function tick(){try{const r=await fetch('/frame');
   if(r.ok)render(await r.json());}catch(e){}

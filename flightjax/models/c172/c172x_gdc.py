@@ -57,6 +57,19 @@ def segment_from_vector(lat1, lon1, h1, chi, s, gamma=None, dh=None):
     return segment(lat1, lon1, h1, float(lat2), float(lon2), float(h1) + dh)
 
 
+def reversed_segment(seg: Segment) -> Segment:
+    """Swap endpoints — the reference's unary `-Segment`
+    (`c172x_gdc.jl:92-94`), used to build approach legs ending AT a point."""
+    return Segment(n_e1=seg.n_e2, h_e1=seg.h_e2, n_e2=seg.n_e1,
+                   h_e2=seg.h_e1)
+
+
+def segment_latlon(n_e):
+    """Host-side (lat, lon) floats of a segment endpoint n-vector."""
+    lat, lon = geo.latlon_from_nvector(n_e)
+    return float(lat), float(lon)
+
+
 class SegmentData(NamedTuple):
     """Segment-relative coordinates (`c172x_gdc.jl:102-148`)."""
     chi_12: jnp.ndarray

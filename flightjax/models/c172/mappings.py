@@ -134,6 +134,22 @@ class TelecommandMapping(IOMapping):
         return dict(u, avionics=av)
 
 
+class TelemetryMapping(IOMapping):
+    """World snapshot -> one JSON telemetry line (the downlink side of the
+    JSON loopback demo, `c172_demos.jl:318-400`)."""
+
+    def extract_output(self, snapshot, y):
+        kin = y.vehicle.kinematics
+        return json.dumps({
+            "t": float(snapshot.t),
+            "h": float(kin.h_e),
+            "EAS": float(y.vehicle.airflow.EAS),
+            "psi": float(kin.e_nb[0]),
+            "theta": float(kin.e_nb[1]),
+            "phi": float(kin.e_nb[2]),
+        })
+
+
 class XPlaneOutputMapping(IOMapping):
     """World snapshot -> X-Plane 12 message set."""
 

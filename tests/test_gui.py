@@ -94,3 +94,12 @@ def test_interrupt_unblocks_get_data(renderer):
     renderer.interrupt()
     th.join(timeout=5)
     assert got == [None] and renderer.should_close()
+
+
+def test_canvas_widget():
+    w = gui.canvas([{"line": [0, 0, 1, 1]},
+                    {"circle": [0.5, 0.25, 0.06], "color": "#fff"},
+                    {"poly": [0, 0, 1, 0, 0.5, 1]}], width=200, height=100)
+    assert w["kind"] == "canvas" and w["w"] == 200
+    assert w["shapes"][1]["color"] == "#fff"
+    json.dumps(w)
