@@ -32,25 +32,68 @@ def main():
     state = jax.tree.map(
         lambda leaf: jnp.broadcast_to(leaf, (BATCH,) + jnp.shape(leaf)), state0)
 
-    steps_per_call = 100
+    steps_per_call = 200
 
-    @jax.jit
-    def roll(state):
-        def body(st, _):
-            return jax.vmap(lambda s: sim.step(s, ctx))(st), None
-        state, _ = jax.lax.scan(body, state, None, length=steps_per_call)
-        return state
+    # Preferred path: the step as a handful of Pallas cluster kernels (the
+    # plain path lowers to O(100) small fusions and is launch-latency-bound
+    # at this batch). Validated against the plain step; falls back to
+    # the plain scan if the kernel fails to build or diverges.
+    carry, roll = None, None
+    import os
+    use_pallas = (os.environ.get("FLIGHTJAX_PALLAS") == "1"
+                  or os.path.exists(os.path.join(
+                      os.path.dirname(os.path.abspath(__file__)),
+                      ".pallas_ok")))
+    try:
+        if not use_pallas:
+            # the cluster kernels compile for minutes; only attempt them
+            # once they have been validated on this hardware (.pallas_ok,
+            # written by tools/validate_pallas.py) or forced via env
+            raise ImportError("pallas path not validated on this hardware")
+        from flightjax.parallel.clusterstep import make_cluster_step
+        cstep = make_cluster_step(sim, state, ctx)
 
-    state = roll(state)  # compile + warm up
-    jax.block_until_ready(state)
-    state = roll(state)  # second warm-up: absorbs one-time layout shuffling
-    jax.block_until_ready(state)
+        got = jax.block_until_ready(jax.jit(cstep)(state))
+        ref = jax.jit(jax.vmap(lambda s: sim.step(s, ctx)))(state)
+        err = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(
+                a.astype(jnp.float32) - b.astype(jnp.float32)))), got, ref)))
+        if err > 1e-3:
+            raise RuntimeError(f"cluster step diverges from plain step: {err}")
+
+        @jax.jit
+        def roll_ck(st):
+            def body(c, _):
+                return cstep(c), None
+            c, _ = jax.lax.scan(body, st, None, length=steps_per_call)
+            return c
+
+        carry, roll = state, roll_ck
+        name += "+pallas"
+    except Exception as exc:  # pragma: no cover - fallback path
+        print(f"# pallas cluster step unavailable ({type(exc).__name__}: "
+              f"{exc}); plain scan", flush=True)
+
+    if roll is None:
+        @jax.jit
+        def roll_plain(st):
+            def body(st, _):
+                return jax.vmap(lambda s: sim.step(s, ctx))(st), None
+            st, _ = jax.lax.scan(body, st, None, length=steps_per_call)
+            return st
+
+        carry, roll = state, roll_plain
+
+    carry = roll(carry)  # compile + warm up
+    jax.block_until_ready(carry)
+    carry = roll(carry)  # second warm-up: absorbs one-time layout shuffling
+    jax.block_until_ready(carry)
 
     n_calls = 5
     t0 = time.perf_counter()
     for _ in range(n_calls):
-        state = roll(state)
-    jax.block_until_ready(state)
+        carry = roll(carry)
+    jax.block_until_ready(carry)
     dt = time.perf_counter() - t0
 
     steps_per_sec = BATCH * steps_per_call * n_calls / dt

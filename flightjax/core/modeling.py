@@ -40,10 +40,29 @@ import jax
 import jax.numpy as jnp
 
 
+def bscale(c, leaf):
+    """`c * leaf` for a scalar-per-lane `c` and any-rank `leaf`, expanding
+    c one axis at a time with explicit materialization: under vmap inside a
+    Pallas kernel, a direct (or fused stepwise) broadcast lowers to a
+    single rank-changing reshape Mosaic rejects; alternating unit appends
+    with same-rank broadcast_to keeps every step individually lowerable."""
+    extra = jnp.shape(leaf)[jnp.ndim(c):]
+    for n in extra:
+        c = jnp.broadcast_to(c[..., None], jnp.shape(c) + (n,))
+    return c * leaf
+
+
 def tree_where(pred, true_tree, false_tree):
     """Elementwise select between two identically-structured pytrees.
-    `pred` is a scalar (or broadcastable) boolean."""
-    return jax.tree.map(lambda t, f: jnp.where(pred, t, f), true_tree, false_tree)
+    `pred` is a scalar (or broadcastable) boolean. Bool leaves use the
+    logical form — a bool-valued select_n does not lower inside Pallas
+    kernels (i8 -> i1 truncation)."""
+    def sel(t, f):
+        if jnp.asarray(t).dtype == jnp.bool_:
+            return jnp.logical_or(jnp.logical_and(pred, t),
+                                  jnp.logical_and(jnp.logical_not(pred), f))
+        return jnp.where(pred, t, f)
+    return jax.tree.map(sel, true_tree, false_tree)
 
 
 def periodic_gate(k, N, fn, state):

@@ -74,7 +74,30 @@ def heun_step(f_ode, x, u, s, t, dt, ctx=()):
     return add(x, incr)
 
 
-_INTEGRATORS = {"rk4": rk4_step, "heun": heun_step}
+def rk4_step_loop(f_ode, x, u, s, t, dt, ctx=()):
+    """RK4 as a 4-iteration `fori_loop` — numerically identical to
+    `rk4_step` (same per-leaf association order), but the f_ode body
+    appears ONCE in the jaxpr instead of four times. Used inside the
+    Pallas megakernel, where Mosaic compile time scales with op count.
+    Stage coefficients are selected with `where` chains (dynamic indexing
+    of a constant vector does not lower in Mosaic)."""
+    zeros = jax.tree.map(jnp.zeros_like, x)
+
+    def body(i, carry):
+        k_prev, acc = carry
+        a = jnp.where(i == 0, 0.0, jnp.where(i == 3, 1.0, 0.5))
+        b = jnp.where(jnp.logical_or(i == 0, i == 3), 1.0, 2.0)
+        xi = jax.tree.map(lambda xv, kv: xv + (a * dt) * kv, x, k_prev)
+        k, _ = f_ode(xi, u, s, t + a * dt, *ctx)
+        acc = jax.tree.map(lambda av, kv: av + b * kv, acc, k)
+        return (k, acc)
+
+    _, acc = jax.lax.fori_loop(0, 4, body, (zeros, zeros))
+    return jax.tree.map(lambda xv, av: xv + (dt / 6.0) * av, x, acc)
+
+
+_INTEGRATORS = {"rk4": rk4_step, "heun": heun_step,
+                "rk4_loop": rk4_step_loop}
 
 
 class Simulation:

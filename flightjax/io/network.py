@@ -177,16 +177,35 @@ class XPlane12Control(OutputDevice):
     )
 
     def __init__(self, address="127.0.0.1", port=49000):
+        self.address, self.port = address, port
         self.udp = UDPOutput(address, port)
+        self._native = None
 
     def init(self):
-        self.udp.init()
-        self.udp.handle_data(tuple(xpmsg_set_dref(d, 1)
-                                   for d in self._OVERRIDES))
+        # prefer the native batched sender (one FFI hop per visualization
+        # frame); fall back to the Python socket path
+        try:
+            from flightjax.io import native
+            if native.available():
+                self._native = native.UdpBatchSender(self.address, self.port)
+        except Exception:
+            self._native = None
+        if self._native is None:
+            self.udp.init()
+        self.handle_data(tuple(xpmsg_set_dref(d, 1)
+                               for d in self._OVERRIDES))
 
     def handle_data(self, data):
         time.sleep(0.01)  # give X-Plane breathing room (`network.jl:140`)
-        self.udp.handle_data(data)
+        packets = data if isinstance(data, (tuple, list)) else (data,)
+        if self._native is not None:
+            self._native.send([p if isinstance(p, bytes) else str(p).encode()
+                               for p in packets])
+        else:
+            self.udp.handle_data(data)
 
     def shutdown(self):
-        self.udp.shutdown()
+        if self._native is not None:
+            self._native.close()
+        else:
+            self.udp.shutdown()

@@ -121,6 +121,16 @@ class RealTimeLoop:
                 threads.append(th)
 
         t_wall0 = time.monotonic()
+        # native pacer if available: releases the GIL while sleeping and
+        # lands within ~10 us of the deadline (Python busy-wait burns the
+        # core; time.sleep jitters by milliseconds)
+        pacer, t_ns0 = None, 0
+        try:
+            from flightjax.io import native
+            if native.available():
+                pacer, t_ns0 = native.pace_until, native.now_ns()
+        except Exception:
+            pacer = None
         dt = self.sim.dt
         try:
             while float(self.state.t) < t_end and not ctl.abort:
@@ -134,8 +144,11 @@ class RealTimeLoop:
                 ctl.t_wall = time.monotonic() - t_wall0
                 if pace != float("inf"):
                     target = ctl.t_sim / pace
-                    while time.monotonic() - t_wall0 < target:
-                        pass  # busy-wait (`sim.jl:548-553`)
+                    if pacer is not None:  # native: sleep+spin, us-accurate
+                        pacer(t_ns0 + int(target * 1e9))
+                    else:
+                        while time.monotonic() - t_wall0 < target:
+                            pass  # busy-wait (`sim.jl:548-553`)
         finally:
             ctl.abort = True
             for iface in self.interfaces:

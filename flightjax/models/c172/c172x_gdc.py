@@ -95,7 +95,7 @@ def segment_data(seg: Segment, n_e_b, h_e_b) -> SegmentData:
 
     s_12 = jnp.sqrt(jnp.sum(r_12_h**2) + 1e-12)
     u_12 = r_12_h / s_12
-    s_1b = jnp.dot(u_12, r_1b_h)
+    s_1b = jnp.sum(u_12 * r_1b_h, axis=-1)
     s_2b = s_1b - s_12
     e_sb = jnp.cross(u_12, r_1b_h)[2]
 

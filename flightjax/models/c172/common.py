@@ -260,9 +260,11 @@ class Aero(Component):
         return x_dot, y
 
     def f_step_stall(self, alpha, stall):
-        """Stall hysteresis (`c172.jl:375-384`)."""
-        return jnp.where(alpha > self.alpha_stall[1], True,
-                         jnp.where(alpha < self.alpha_stall[0], False, stall))
+        """Stall hysteresis (`c172.jl:375-384`). Pure logical form — a
+        bool-valued select does not lower inside Pallas kernels."""
+        return jnp.logical_or(
+            alpha > self.alpha_stall[1],
+            jnp.logical_and(stall, alpha >= self.alpha_stall[0]))
 
 
 # ---------------------------------------------------------------------- ldg

@@ -78,12 +78,62 @@ class Lookup:
 
     # ------------------------------------------------------- dense (no gather)
 
+    @staticmethod
+    def _static(ax):
+        """Concrete numpy view of an axis, or None if it is a tracer."""
+        try:
+            return np.asarray(ax)
+        except Exception:
+            return None
+
+    def _hat_weights_static(self, x, a, mode):
+        """_hat_weights against a CONCRETE axis: every axis-derived value is
+        baked as a literal/numpy constant, so no slicing, gathers or
+        scatters appear in the trace (required for the Pallas megakernel,
+        where none of those lower to Mosaic)."""
+        a = np.asarray(a, np.float64)
+        n = a.shape[0]
+        cst = lambda v: jnp.asarray(np.asarray(v), x.dtype)
+        if mode == "flat":
+            x = jnp.clip(x, float(a[0]), float(a[-1]))
+        d = np.diff(a)
+        dl = cst(np.concatenate([d[:1], d]))
+        dr = cst(np.concatenate([d, d[-1:]]))
+        t = x[..., None] - cst(a)
+        up = t / dl
+        down = -t / dr
+        w = jnp.minimum(1.0 + jnp.minimum(up, 0.0),
+                        1.0 + jnp.minimum(down, 0.0))
+        if mode == "flat":
+            return jnp.maximum(w, 0.0)
+        # 'line': edge hats extrapolate linearly; masked writes become
+        # where-selects against constant one-hot masks. Comparisons happen
+        # AFTER the f32 unit-append: reshaping an i1 vector does not lower
+        # in Mosaic.
+        w = jnp.maximum(w, 0.0)
+        xe = x[..., None]
+        below = xe < float(a[0])
+        above = xe > float(a[-1])
+        t0 = (xe - float(a[0])) / float(a[1] - a[0])
+        tn = (xe - float(a[-2])) / float(a[-1] - a[-2])
+        idx = np.arange(n)
+        m0, m1 = idx == 0, idx == 1
+        mm2, mm1 = idx == n - 2, idx == n - 1
+        w = jnp.where(jnp.logical_and(below, m0), 1.0 - t0, w)
+        w = jnp.where(jnp.logical_and(below, m1), t0, w)
+        w = jnp.where(jnp.logical_and(above, mm2), 1.0 - tn, w)
+        w = jnp.where(jnp.logical_and(above, mm1), tn, w)
+        return w
+
     def _hat_weights(self, x, ax, mode):
         """(batch, n) piecewise-linear hat-basis weights such that
         w @ knots reproduces linear interpolation. Gather-free: pure
         broadcasting against the knot vector — on TPU this fuses into large
         elementwise kernels + one small MXU contraction instead of
         fusion-breaking gathers."""
+        a_np = self._static(ax)
+        if a_np is not None:
+            return self._hat_weights_static(x, a_np, mode)
         n = ax.shape[0]
         if mode == "flat":
             x = jnp.clip(x, ax[0], ax[-1])
@@ -116,7 +166,64 @@ class Lookup:
             w = w_int
         return w
 
+    def _call_dense_static(self, coords):
+        """Dense evaluation against CONCRETE tables with zero traced
+        reshapes: the flattened value matrix and the per-axis expand/reduce
+        0/1 matrices are prebuilt in numpy, every contraction is a plain
+        (B, n) x (n, R) matmul or an elementwise FMA. This is the form that
+        lowers inside the Pallas megakernel (Mosaic rejects minor-dim shape
+        casts) and it is MXU-friendly everywhere else too."""
+        V = np.asarray(self.values)
+        axes_np = [np.asarray(a) for a in self.axes]
+        live = []
+        for x, a, mode in zip(coords, axes_np, self.extrap):
+            if a.shape[0] == 1:
+                V = V[(slice(None),) * len(live) + (0,)]
+            else:
+                live.append((jnp.asarray(x), a, mode))
+        tail = V.shape[len(live):]
+        if not live:
+            x0 = jnp.asarray(coords[0])
+            return jnp.broadcast_to(jnp.asarray(V, x0.dtype),
+                                    x0.shape + tail)
+        xs = jnp.broadcast_arrays(*[x for x, _, _ in live])
+        dt = xs[0].dtype
+        R_tail = int(np.prod(tail, dtype=np.int64)) if tail else 1
+
+        # axis 0: hat weights x flattened table
+        x0, a0, m0 = xs[0], live[0][1], live[0][2]
+        w = self._hat_weights_static(x0, a0, m0)           # (B..., n0)
+        V2 = jnp.asarray(V.reshape(V.shape[0], -1), dt)    # (n0, R)
+        out = jnp.matmul(w[..., None, :], V2,
+                         precision=jax.lax.Precision.HIGHEST)[..., 0, :]
+
+        # remaining axes: expand weights across the inner block with a
+        # constant 0/1 kron matrix, FMA, reduce with its transpose partner
+        inner = [int(np.prod([live[j][1].shape[0]
+                              for j in range(i + 1, len(live))],
+                             dtype=np.int64)) * R_tail
+                 for i in range(len(live))]
+        for i in range(1, len(live)):
+            x, a, mode = xs[i], live[i][1], live[i][2]
+            n, r = a.shape[0], inner[i]
+            w = self._hat_weights_static(x, a, mode)       # (B..., n)
+            K = jnp.asarray(np.kron(np.eye(n), np.ones((1, r))), dt)
+            S = jnp.asarray(np.kron(np.ones((n, 1)), np.eye(r)), dt)
+            w_exp = jnp.matmul(w[..., None, :], K,
+                               precision=jax.lax.Precision.HIGHEST)[..., 0, :]
+            out = jnp.matmul((out * w_exp)[..., None, :], S,
+                             precision=jax.lax.Precision.HIGHEST)[..., 0, :]
+
+        if not tail:
+            return out[..., 0]
+        if len(tail) == 1:
+            return out
+        return out.reshape(xs[0].shape + tail)  # rare: multi-dim values
+
     def _call_dense(self, coords):
+        if (self._static(self.values) is not None
+                and all(self._static(a) is not None for a in self.axes)):
+            return self._call_dense_static(coords)
         coords = jnp.broadcast_arrays(*[jnp.asarray(c) for c in coords])
         batch_shape = coords[0].shape
         nb = len(batch_shape)
@@ -126,7 +233,9 @@ class Lookup:
         live, k = [], 0
         for x, ax, mode in zip(coords, self.axes, self.extrap):
             if ax.shape[0] == 1:
-                vals = jnp.take(vals, 0, axis=k)
+                # static basic indexing (NOT jnp.take: take lowers to a
+                # gather even for a constant index, which Mosaic rejects)
+                vals = vals[(slice(None),) * k + (0,)]
             else:
                 live.append((x, ax, mode))
                 k += 1
@@ -138,9 +247,16 @@ class Lookup:
         for idx, (x, ax, mode) in enumerate(live):
             w = self._hat_weights(x, ax, mode)  # (*batch, n)
             if out is None:
-                # (B..., n0) x (n0, rest...) -> (B..., rest...) on the MXU
-                out = jnp.tensordot(w, vals, axes=([-1], [0]),
-                                    precision=jax.lax.Precision.HIGHEST)
+                # (B..., 1, n0) x (n0, R) -> (B..., 1, R) on the MXU. The
+                # explicit singleton keeps the lhs non-contracting dims
+                # non-empty — a bare vector-matrix dot hits a Mosaic
+                # dot_dimension_numbers parser bug inside Pallas kernels.
+                n0 = vals.shape[0]
+                w2 = w.reshape(batch_shape + (1, n0))
+                v2 = vals.reshape(n0, -1)
+                out = jnp.matmul(w2, v2,
+                                 precision=jax.lax.Precision.HIGHEST)
+                out = out.reshape(batch_shape + vals.shape[1:])
             else:
                 # out: (*batch, n_idx, rest...) ; contract axis nb with w
                 w_exp = w.reshape(batch_shape + (w.shape[-1],)

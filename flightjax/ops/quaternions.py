@@ -89,5 +89,7 @@ def qomega(q_ab, qdot_ab):
 
 
 def qidentity(dtype=None, batch=()):
-    q = jnp.zeros(batch + (4,), dtype=dtype).at[..., 0].set(1.0)
-    return q
+    # constant broadcast (NOT .at[].set: that is a scatter, which does not
+    # lower inside the Pallas megakernel)
+    q = jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype=dtype)
+    return jnp.broadcast_to(q, batch + (4,))

@@ -31,6 +31,16 @@ class PackSpec(NamedTuple):
     keys: tuple        # group dtype names, e.g. ("float32", "int32")
     widths: tuple      # total columns per group
     batch: int
+    paths: tuple = ()  # per-leaf key-path strings, e.g. "s/vehicle/geoid_N"
+
+    def column_of(self, path_suffix):
+        """(group index, column offset, size) of the unique leaf whose path
+        ends with `path_suffix`."""
+        hits = [i for i, p in enumerate(self.paths)
+                if p.endswith(path_suffix)]
+        assert len(hits) == 1, (path_suffix, hits)
+        i = hits[0]
+        return self.groups[i], self.offsets[i], self.sizes[i]
 
 
 def _group_key(dt):
@@ -45,7 +55,16 @@ def _group_key(dt):
 def make_packer(state):
     """Build (spec, pack, unpack) for a batched pytree whose every leaf has
     leading batch dimension B."""
-    leaves, treedef = jax.tree.flatten(state)
+    def _kname(k):
+        for a in ("key", "name", "idx"):
+            if hasattr(k, a):
+                return str(getattr(k, a))
+        return str(k)
+
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(state)
+    paths = tuple("/".join(_kname(k) for k in kp)
+                  for kp, _ in leaves_with_path)
+    leaves = [leaf for _, leaf in leaves_with_path]
     batch = int(leaves[0].shape[0])
     shapes, dtypes, groups, offsets, sizes = [], [], [], [], []
     keys = []
@@ -68,13 +87,61 @@ def make_packer(state):
                     dtypes=tuple(dtypes), groups=tuple(groups),
                     offsets=tuple(offsets), sizes=tuple(sizes),
                     keys=tuple(keys),
-                    widths=tuple(widths[k] for k in keys), batch=batch)
+                    widths=tuple(widths[k] for k in keys), batch=batch,
+                    paths=paths)
+
+    def _flatten_tail(leaf):
+        """(B, *tail) -> (B, prod(tail)) row-major WITHOUT any reshape or
+        concatenate on the tail dims — Mosaic (the Pallas TPU compiler)
+        rejects minor-dim shape casts, non-minor concatenates, and
+        offset-mismatched concatenates, so higher-rank tails are projected
+        out with constant one-hot masks and re-placed by broadcast-FMA."""
+        if leaf.ndim <= 2:
+            return leaf if leaf.ndim == 2 else leaf[:, None]
+        tail = leaf.shape[1:]
+        size = int(np.prod(tail, dtype=np.int64))
+        out = None
+        for k in range(size):
+            E = np.zeros(tail, dtype=np.float64)
+            E.flat[k] = 1.0
+            # rank-preserving reduction (keepdims) then minor squeezes:
+            # a direct rank-3 -> rank-1 sum crashes Mosaic layout inference
+            col = leaf * jnp.asarray(E, leaf.dtype)
+            for ax in range(len(tail), 0, -1):
+                col = jnp.sum(col, axis=ax, keepdims=True)
+            for _ in range(len(tail) - 1):
+                col = col[..., 0]
+            # col: (B, 1)
+            e_k = np.zeros((size,), dtype=np.float64)
+            e_k[k] = 1.0
+            term = col * jnp.asarray(e_k, leaf.dtype)
+            out = term if out is None else out + term
+        return out
+
+    def _unflatten_tail(flat, tail):
+        """(B, prod(tail)) -> (B, *tail), inverse of _flatten_tail: built as
+        a sum of unit-column broadcasts against one-hot tail masks."""
+        if len(tail) == 0:
+            return flat[:, 0]
+        if len(tail) == 1:
+            return flat
+        size = int(np.prod(tail, dtype=np.int64))
+        out = None
+        for k in range(size):
+            E = np.zeros(tail, dtype=np.float64)
+            E.flat[k] = 1.0
+            col = flat[:, k:k + 1]           # (B, 1): no rank-1 values
+            for _ in range(len(tail) - 1):
+                col = col[..., None]         # unit appends -> (B, 1, ..., 1)
+            term = col * jnp.asarray(E, flat.dtype)
+            out = term if out is None else out + term
+        return out
 
     def pack(st):
         leaves = jax.tree.leaves(st)
         cols = [[] for _ in spec.keys]
         for leaf, g in zip(leaves, spec.groups):
-            flat = jnp.reshape(leaf, (leaf.shape[0], -1))
+            flat = _flatten_tail(leaf)
             cols[g].append(flat.astype(jnp.dtype(spec.keys[g])))
         return tuple(jnp.concatenate(c, axis=1) for c in cols)
 
@@ -84,7 +151,7 @@ def make_packer(state):
                                           spec.groups, spec.offsets,
                                           spec.sizes):
             flat = jax.lax.slice_in_dim(bufs[g], off, off + size, axis=1)
-            leaf = jnp.reshape(flat, (bufs[g].shape[0],) + tail)
+            leaf = _unflatten_tail(flat, tail)
             out.append(leaf.astype(jnp.dtype(dt)))
         return jax.tree.unflatten(spec.treedef, out)
 

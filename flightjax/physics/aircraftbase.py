@@ -122,6 +122,12 @@ class Vehicle(Component):
         return x_dot, VehicleY(systems=sys_y, kinematics=kin,
                                dynamics=dyn_y, airflow=air)
 
+    # When False, f_step carries the geoid undulation forward unchanged and
+    # the caller refreshes it externally (the EGM96 grid gather cannot live
+    # inside a Pallas megakernel — see parallel/megakernel.py). Semantics
+    # are identical as long as the caller refreshes once per step.
+    geoid_in_step = True
+
     def f_step(self, x, u, s, t):
         """Kinematics renorm + systems discrete impulse
         (`aircraftbase.jl:172-181`), plus the once-per-step refresh of the
@@ -133,8 +139,20 @@ class Vehicle(Component):
         kin, air, trn_fn = self._context(x, u, s)
         sys_x, sys_s = self.systems.f_step(x["systems"], u["systems"],
                                            s["systems"], t, kin, air, trn_fn)
-        return dict(x, systems=sys_x), dict(s, systems=sys_s,
-                                            geoid_N=geoid_height(kin.n_e))
+        N = geoid_height(kin.n_e) if self.geoid_in_step else s["geoid_N"]
+        return dict(x, systems=sys_x), dict(s, systems=sys_s, geoid_N=N)
+
+    def refresh_geoid(self, x, s):
+        """External once-per-step geoid refresh for geoid_in_step=False."""
+        from flightjax.ops import geodesy as geo
+        xk = x["kinematics"]
+        if "q_ew" in xk:       # WA mechanization
+            n_e = geo.nvector_from_qew(xk["q_ew"])
+        elif "q_eb" in xk:     # ECEF: n_e carried directly
+            n_e = xk["n_e"]
+        else:                  # NED: lat/lon states
+            n_e = geo.nvector_from_latlon(xk["lat"], xk["lon"])
+        return dict(s, geoid_N=geo.geoid_height(n_e))
 
 
 class AircraftY(NamedTuple):
@@ -217,9 +235,10 @@ class SimpleWorld(Component):
         return x, u, s
 
     def f_ode(self, x, u, s, t):
+        from flightjax.core.modeling import bscale
         x_dot, y = self.aircraft.f_ode(x, u, s, t)
         alive = 1.0 - s["terminated"]
-        x_dot = jax.tree.map(lambda v: v * alive, x_dot)
+        x_dot = jax.tree.map(lambda v: bscale(alive, v), x_dot)
         return x_dot, y
 
     def f_step(self, x, u, s, t):

@@ -248,7 +248,8 @@ class LQROutput(NamedTuple):
 
 
 def _mv(M, v):
-    return jnp.einsum("...ij,...j->...i", M, v)
+    # multiply+reduce (not dot_general): lowers inside Pallas kernels
+    return jnp.sum(M * v[..., None, :], axis=-1)
 
 
 def lqr_step(p: LQRParams, s: LQRState, x, z, z_ref, dt, sat_ext=0):

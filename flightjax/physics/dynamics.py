@@ -19,7 +19,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from flightjax.core.modeling import Component
+from flightjax.core.modeling import Component, bscale
 from flightjax.ops import geodesy as geo
 from flightjax.ops.attitude import skew
 from flightjax.ops.quaternions import qrot, qrot_inv, qidentity
@@ -101,7 +101,7 @@ def mass_props_point(m, r_bP_b) -> MassProps:
     """Point mass at position r_bP_b (`dynamics.jl:211-214`)."""
     m = jnp.asarray(m)
     S = skew(r_bP_b)
-    J = -m[..., None, None] * (S @ S)
+    J = -bscale(m, _mm(S, S))
     return MassProps(m=m, J=J, r_OG=jnp.asarray(r_bP_b))
 
 
@@ -111,10 +111,17 @@ def mass_props_rigid(m, J_G_c, t_bc: FrameTransform) -> MassProps:
     from flightjax.ops.attitude import quat_to_matrix
     m = jnp.asarray(m)
     R = quat_to_matrix(t_bc.q)
-    J_G_b = R @ J_G_c @ jnp.swapaxes(R, -1, -2)
+    J_G_b = _mm(_mm(R, J_G_c), jnp.swapaxes(R, -1, -2))
     S = skew(t_bc.r)
-    J_b_b = J_G_b - m[..., None, None] * (S @ S)
+    J_b_b = J_G_b - bscale(m, _mm(S, S))
     return MassProps(m=m, J=J_b_b, r_OG=t_bc.r)
+
+
+def _mm(A, B):
+    """Small (...,3,3) matmul as broadcast+reduce: Mosaic lowers batched
+    dot_general via minor-dim shape casts it does not support inside
+    Pallas kernels; the VPU form is equivalent for 3x3."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
 
 
 def translate_mass_props(t_bc: FrameTransform, mp_c: MassProps) -> MassProps:
@@ -122,13 +129,20 @@ def translate_mass_props(t_bc: FrameTransform, mp_c: MassProps) -> MassProps:
     from flightjax.ops.attitude import quat_to_matrix
     m = mp_c.m
     Sc = skew(mp_c.r_OG)
-    J_G_c = mp_c.J + m[..., None, None] * (Sc @ Sc)
+    J_G_c = mp_c.J + bscale(m, _mm(Sc, Sc))
     R = quat_to_matrix(t_bc.q)
-    J_G_b = R @ J_G_c @ jnp.swapaxes(R, -1, -2)
+    J_G_b = _mm(_mm(R, J_G_c), jnp.swapaxes(R, -1, -2))
     r_bG_b = t_bc.r + qrot(t_bc.q, mp_c.r_OG)
     Sb = skew(r_bG_b)
-    J_b_b = J_G_b - m[..., None, None] * (Sb @ Sb)
+    J_b_b = J_G_b - bscale(m, _mm(Sb, Sb))
     return MassProps(m=m, J=J_b_b, r_OG=r_bG_b)
+
+
+def _mv(M, v):
+    """Mat-vec as multiply+reduce: a dot_general with an empty rhs
+    non-contracting set hits a Mosaic parser bug inside Pallas kernels,
+    and for 3x3 the VPU form is at least as fast."""
+    return jnp.sum(M * v[..., None, :], axis=-1)
 
 
 def solve3(A, b):
@@ -237,10 +251,9 @@ class VehicleDynamics(Component):
         g_c_c = qrot(q_cl, g_c_l)
 
         # angular & linear momentum equations at c (`dynamics.jl:491-493`)
-        hc = jnp.einsum("...ij,...j->...i", J_c, omega_ic_c) + ho_sum_c
+        hc = _mv(J_c, omega_ic_c) + ho_sum_c
         rhs = (tau_c
-               - jnp.einsum("...ij,...j->...i", J_c,
-                            jnp.cross(omega_ie_c, omega_ec_c))
+               - _mv(J_c, jnp.cross(omega_ie_c, omega_ec_c))
                - jnp.cross(omega_ic_c, hc))
         omega_dot_ec_c = solve3(J_c, rhs)
         v_dot_ec_c = (F_c / m_sum[..., None] + g_c_c

@@ -57,6 +57,12 @@ def damper_force(d: SimpleDamper, xi, xi_dot):
 
 # ------------------------------------------------------------------ friction
 
+def _dot(a, b):
+    """Inner product as multiply+reduce: a zero-non-contracting dot_general
+    hits a Mosaic parser bug inside Pallas kernels."""
+    return jnp.sum(a * b, axis=-1)
+
+
 def _mu_blend(mu_s, mu_d, v_s, v_d, v):
     """Static->dynamic friction blend over contact speed (`:170-174`)."""
     k_sd = jnp.clip((v - v_s) / (v_d - v_s), 0.0, 1.0)
@@ -77,9 +83,12 @@ def mu_roll(v):
 
 
 def mu_skid(surface, v):
-    mu_s = jnp.asarray(_SKID_MU_S)[surface]
-    mu_d = jnp.asarray(_SKID_MU_D)[surface]
-    return _mu_blend(mu_s, mu_d, *_SKID_V, v)
+    # 3-way select instead of indexing the constant tables: branch-free and
+    # gather-free (gathers do not lower inside the Pallas megakernel)
+    def pick(tbl):
+        return jnp.where(surface == 0, tbl[0],
+                         jnp.where(surface == 1, tbl[1], tbl[2]))
+    return _mu_blend(pick(_SKID_MU_S), pick(_SKID_MU_D), *_SKID_V, v)
 
 
 # --------------------------------------------------------------------- strut
@@ -193,11 +202,11 @@ class LandingGearUnit(Component):
 
         ut_n = trn.normal
         ut_e = qrot(q_en, ut_n)
-        ut_ks = jnp.dot(ut_e, ks_e)
+        ut_ks = _dot(ut_e, ks_e)
         # guard: |ut_ks| ~ 0 only for a near-horizontal strut, masked by wow
         ut_ks_safe = jnp.where(jnp.abs(ut_ks) < 1e-6,
                                jnp.where(ut_ks < 0, -1e-6, 1e-6), ut_ks)
-        l = jnp.dot(ut_e, r_st_e) / ut_ks_safe
+        l = _dot(ut_e, r_st_e) / ut_ks_safe
         alpha_ts = jnp.arccos(jnp.clip(ut_ks, -1.0, 1.0))
 
         xi = jnp.minimum(0.0, l - l_0)  # numerical-noise clamp (`:274`)
@@ -224,7 +233,7 @@ class LandingGearUnit(Component):
         # contact frame axes from wheel x projected on terrain plane (`:292-299`)
         kc_n = ut_n
         iw_n = qrot(q_nw, E1)
-        iw_n_trn = iw_n - jnp.dot(iw_n, kc_n) * kc_n
+        iw_n_trn = iw_n - _dot(iw_n, kc_n) * kc_n
         ic_n = iw_n_trn / _safe_norm(iw_n_trn)
         jc_n = jnp.cross(kc_n, ic_n)
         R_nc = jnp.stack([ic_n, jc_n, kc_n], axis=-1)

@@ -1,0 +1,46 @@
+"""Validate the Pallas cluster-kernel step on the current TPU and, on
+success, write `.pallas_ok` at the repo root so bench.py uses it.
+
+Run: python tools/validate_pallas.py  (on a machine with the real chip)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from flightjax.models.c172 import flagship_sim
+    from flightjax.parallel.clusterstep import make_cluster_step
+
+    batch = 4096
+    sim, state0, ctx = flagship_sim()
+    state = jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (batch,) + jnp.shape(l)), state0)
+
+    t0 = time.perf_counter()
+    step = make_cluster_step(sim, state, ctx)
+    got = jax.block_until_ready(jax.jit(step)(state))
+    print(f"compile+1 step: {time.perf_counter() - t0:.1f}s")
+
+    ref = jax.jit(jax.vmap(lambda s: sim.step(s, ctx)))(state)
+    err = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - b.astype(jnp.float32)))), got, ref)))
+    print("max leaf diff vs plain step:", err)
+    if err > 1e-3:
+        raise SystemExit(f"FAIL: diverges ({err})")
+
+    marker = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".pallas_ok")
+    with open(marker, "w") as f:
+        f.write(f"validated err={err}\n")
+    print("OK ->", marker)
+
+
+if __name__ == "__main__":
+    main()
