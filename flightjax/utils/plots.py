@@ -80,3 +80,144 @@ def save_plots(plots, folder):
     elif plots is not None:
         plots.savefig(os.path.join(folder, "plot.png"), dpi=100)
         plt.close(plots)
+
+
+# --------------------------------------------------- specialized plot sets
+
+def _fig(nrows=1, ncols=1, h=2.6):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt.subplots(nrows, ncols, figsize=(9, h * nrows), squeeze=False)
+
+
+def _stack(ax_col, t, y, labels, ylabel=""):
+    for ax, col, lbl in zip(ax_col, np.asarray(y).T, labels):
+        ax.plot(t, col)
+        ax.set_ylabel(lbl)
+        ax.grid(True, alpha=0.3)
+    ax_col[-1].set_xlabel("t (s)")
+
+
+def kin_plots(ts):
+    """KinData plot set (`FlightPhysicsPlotsExt.jl:178-258`): Euler angles,
+    angular rates, NED/body velocities, geographic track, altitude,
+    v/chi/gamma, and the 3-D trajectory. `ts` is a TimeSeries over a
+    KinData subtree. Returns a dict of figures."""
+    t = np.asarray(ts.t)
+    kin = ts.y
+    r2d = np.degrees
+    out = {}
+
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t, r2d(np.asarray(kin.e_nb)),
+           ["psi (deg)", "theta (deg)", "phi (deg)"])
+    ax[0, 0].set_title("Euler angles (ZYX, body wrt NED)")
+    out["e_nb"] = fig
+
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t, r2d(np.asarray(kin.omega_wb_b)),
+           ["p (deg/s)", "q (deg/s)", "r (deg/s)"])
+    ax[0, 0].set_title("Angular rates (body wrt local-level)")
+    out["omega_wb_b"] = fig
+
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t, np.asarray(kin.v_eb_n),
+           ["v_N (m/s)", "v_E (m/s)", "v_D (m/s)"])
+    ax[0, 0].set_title("NED velocity")
+    out["v_eb_n"] = fig
+
+    fig, ax = _fig(1, h=4.0)
+    lat, lon = r2d(np.asarray(kin.lat)), r2d(np.asarray(kin.lon))
+    ax[0, 0].plot(lon, lat)
+    ax[0, 0].set_xlabel("lon (deg)")
+    ax[0, 0].set_ylabel("lat (deg)")
+    ax[0, 0].set_title("Geographic track")
+    ax[0, 0].grid(True, alpha=0.3)
+    out["track"] = fig
+
+    fig, ax = _fig(2)
+    _stack(ax[:, 0], t,
+           np.stack([np.asarray(kin.h_e), np.asarray(kin.h_o)], axis=-1),
+           ["h_ellip (m)", "h_orth (m)"])
+    ax[0, 0].set_title("Altitude")
+    out["altitude"] = fig
+
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t,
+           np.stack([np.asarray(kin.v_gnd), r2d(np.asarray(kin.chi_gnd)),
+                     r2d(np.asarray(kin.gamma_gnd))], axis=-1),
+           ["v_gnd (m/s)", "chi (deg)", "gamma (deg)"])
+    ax[0, 0].set_title("Ground speed / course / flight-path angle")
+    out["ground"] = fig
+
+    # 3-D trajectory (`:Ob_t3d`): local ENU meters from the first sample
+    import matplotlib.pyplot as plt
+    R = 6.371e6
+    lat_r, lon_r = np.radians(lat), np.radians(lon)
+    e = (lon_r - lon_r[0]) * R * np.cos(lat_r[0])
+    n = (lat_r - lat_r[0]) * R
+    up = np.asarray(kin.h_e) - np.asarray(kin.h_e)[0]
+    fig = plt.figure(figsize=(8, 7))
+    ax3 = fig.add_subplot(projection="3d")
+    ax3.plot(e, n, up)
+    ax3.set_xlabel("east (m)")
+    ax3.set_ylabel("north (m)")
+    ax3.set_zlabel("up (m)")
+    ax3.set_title("3-D trajectory")
+    out["Ob_t3d"] = fig
+    return out
+
+
+def air_plots(ts):
+    """AirData plot set (`FlightPhysicsPlotsExt.jl:365-445`)."""
+    t = np.asarray(ts.t)
+    air = ts.y
+    out = {}
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t,
+           np.stack([np.asarray(air.TAS), np.asarray(air.EAS),
+                     np.asarray(air.CAS)], axis=-1),
+           ["TAS (m/s)", "EAS (m/s)", "CAS (m/s)"])
+    ax[0, 0].set_title("Airspeeds")
+    out["speeds"] = fig
+
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t,
+           np.stack([np.asarray(air.M), np.asarray(air.q),
+                     np.asarray(air.rho)], axis=-1),
+           ["Mach", "q (Pa)", "rho (kg/m^3)"])
+    ax[0, 0].set_title("Mach / dynamic pressure / density")
+    out["mach_q_rho"] = fig
+
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t, np.asarray(air.v_wb_b),
+           ["u_a (m/s)", "v_a (m/s)", "w_a (m/s)"])
+    ax[0, 0].set_title("Aerodynamic velocity, body axes")
+    out["v_wb_b"] = fig
+    return out
+
+
+def dyn_plots(ts):
+    """DynamicsData plot set (`FlightPhysicsPlotsExt.jl:296-362`)."""
+    t = np.asarray(ts.t)
+    dyn = ts.y
+    out = {}
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t, np.asarray(dyn.f_c_c),
+           ["f_x (m/s^2)", "f_y (m/s^2)", "f_z (m/s^2)"])
+    ax[0, 0].set_title("Specific force at CoM")
+    out["f_c_c"] = fig
+
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t, np.asarray(dyn.a_ec_c),
+           ["a_x (m/s^2)", "a_y (m/s^2)", "a_z (m/s^2)"])
+    ax[0, 0].set_title("ECEF acceleration at CoM")
+    out["a_ec_c"] = fig
+
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t, np.asarray(dyn.wr_sum_b.F),
+           ["F_x (N)", "F_y (N)", "F_z (N)"])
+    ax[0, 0].set_title("Total external force, body axes")
+    out["F_ext"] = fig
+    return out

@@ -212,3 +212,34 @@ def test_joystick_mapping_c172sv0():
     assert float(act["elevator"]) < -0.1
     with pytest.raises(InputMappingError):
         C172Sv0JoystickMapping().assign_input(u, {"bad": 1})
+
+
+def test_specialized_plot_sets(tmp_path):
+    """kin/air/dyn plot sets over a short C172 run save to PNG folders
+    (mirrors `FlightPhysicsPlotsExt.jl` coverage)."""
+    import jax
+    import jax.numpy as jnp
+    from flightjax.core.sim import Simulation, SimState
+    from flightjax.models.c172 import c172s
+    from flightjax.utils.plots import kin_plots, air_plots, dyn_plots, \
+        save_plots
+
+    world = c172s.flagship_world("wa")
+    sim = Simulation(world, dt=0.02)
+    x, u, s, _, _ = c172s.trim(world.aircraft.vehicle)
+    state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
+                     x={"vehicle": x}, u={"vehicle": u},
+                     s={"vehicle": s, "terminated": jnp.asarray(False)})
+    _, log = sim.run(state, t_end=1.0, t0=0.0, save_every=5)
+
+    veh = log.y.vehicle
+    from flightjax.core.sim import TimeSeries
+    plots = {
+        "kin": kin_plots(TimeSeries(log.t, veh.kinematics)),
+        "air": air_plots(TimeSeries(log.t, veh.airflow)),
+        "dyn": dyn_plots(TimeSeries(log.t, veh.dynamics)),
+    }
+    assert "Ob_t3d" in plots["kin"] and "speeds" in plots["air"]
+    save_plots(plots, str(tmp_path / "plots"))
+    pngs = list((tmp_path / "plots").rglob("*.png"))
+    assert len(pngs) >= 12
