@@ -155,3 +155,87 @@ class XPlaneOutputMapping(IOMapping):
 
     def extract_output(self, snapshot, y):
         return c172_xplane_messages(float(snapshot.t), y.vehicle)
+
+
+# ------------------------------------------------------------ GUI dashboard
+
+def c172x_dashboard(snapshot, y):
+    """Widget frame for the C172X v1/v2 autopilot (the web-GUI analog of the
+    reference's control-law GUI panels, `c172x_ctl.jl:715-726`): mode
+    buttons post `lon_mode`/`lat_mode` events, reference sliders post
+    `EAS_ref`/`clm_ref`/`chi_ref`, plus live flight instruments.
+
+    `snapshot` is the latest SimState, `y` the world output (AircraftY)."""
+    import numpy as np
+
+    from flightjax.io import gui
+    from flightjax.models.c172 import c172x_ctl as CTL
+
+    veh = y.vehicle
+    kin = veh.kinematics
+    u_av = snapshot.u["avionics"]
+    lon_u = u_av.get("ctl", u_av)["lon"] if "ctl" in u_av else u_av["lon"]
+    lat_u = u_av.get("ctl", u_av)["lat"] if "ctl" in u_av else u_av["lat"]
+    lon_req = int(lon_u["mode_req"])
+    lat_req = int(lat_u["mode_req"])
+
+    lon_modes = [("direct", CTL.LON_DIRECT), ("SAS", CTL.LON_SAS),
+                 ("thr+q", CTL.LON_THR_Q), ("EAS+q", CTL.LON_EAS_Q),
+                 ("EAS+clm", CTL.LON_EAS_CLM), ("EAS+alt", CTL.LON_EAS_ALT)]
+    lat_modes = [("direct", CTL.LAT_DIRECT), ("SAS", CTL.LAT_SAS),
+                 ("p+beta", CTL.LAT_P_BETA), ("phi+beta", CTL.LAT_PHI_BETA),
+                 ("chi+beta", CTL.LAT_CHI_BETA)]
+
+    frame = [gui.text(f"C172X  t = {float(snapshot.t):8.2f} s")]
+    frame += [gui.mode_button(name, mode, lon_req, lon_req,
+                              id=f"lon_mode:{mode}")
+              for name, mode in lon_modes]
+    frame += [gui.mode_button(name, mode, lat_req, lat_req,
+                              id=f"lat_mode:{mode}")
+              for name, mode in lat_modes]
+    frame += [
+        gui.display_bar("EAS (m/s)", veh.airflow.EAS, 20.0, 60.0),
+        gui.display_bar("h_orth (m)", kin.h_o, 0.0, 5000.0),
+        gui.display_bar("climb (m/s)", -kin.v_eb_n[2], -10.0, 10.0),
+        gui.display_bar("bank (deg)", np.degrees(float(kin.e_nb[2])),
+                        -60.0, 60.0),
+        gui.safe_slider("EAS_ref", float(lon_u["EAS_ref"]), 25.0, 60.0,
+                        id="EAS_ref"),
+        gui.safe_slider("clm_ref", float(lon_u["clm_ref"]), -5.0, 5.0,
+                        id="clm_ref"),
+        gui.safe_slider("chi_ref", float(lat_u["chi_ref"]), -3.14, 3.14,
+                        id="chi_ref"),
+    ]
+    return frame
+
+
+class C172XDashboardMapping(IOMapping):
+    """GUI <-> v1/v2 avionics: `extract_output` renders the dashboard,
+    `assign_input` routes widget events onto the avionics inputs."""
+
+    def _ctl_u(self, u):
+        av = u["avionics"]
+        return (av["ctl"], True) if "ctl" in av else (av, False)
+
+    def assign_input(self, u, data):
+        wid, val = data
+        ctl_u, nested = self._ctl_u(u)
+        lon, lat = dict(ctl_u["lon"]), dict(ctl_u["lat"])
+        if wid.startswith("lon_mode:"):
+            lon["mode_req"] = jnp.asarray(int(wid.split(":")[1]),
+                                          dtype=jnp.int32)
+        elif wid.startswith("lat_mode:"):
+            lat["mode_req"] = jnp.asarray(int(wid.split(":")[1]),
+                                          dtype=jnp.int32)
+        elif wid in ("EAS_ref", "clm_ref", "h_ref"):
+            lon[wid] = jnp.asarray(float(val))
+        elif wid in ("chi_ref", "phi_ref", "beta_ref", "p_ref"):
+            lat[wid] = jnp.asarray(float(val))
+        else:
+            raise InputMappingError(f"unknown widget {wid}")
+        new_ctl = dict(ctl_u, lon=lon, lat=lat)
+        av = (dict(u["avionics"], ctl=new_ctl) if nested else new_ctl)
+        return dict(u, avionics=av)
+
+    def extract_output(self, snapshot, y):
+        return c172x_dashboard(snapshot, y)

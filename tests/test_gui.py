@@ -103,3 +103,39 @@ def test_canvas_widget():
     assert w["kind"] == "canvas" and w["w"] == 200
     assert w["shapes"][1]["color"] == "#fff"
     json.dumps(w)
+
+
+def test_c172x_dashboard_and_mapping():
+    """Dashboard frame renders from a real v1 world snapshot and widget
+    events route onto the avionics inputs (the web analog of the
+    reference's control-law GUI panels, `c172x_ctl.jl:715-726`)."""
+    import jax.numpy as jnp
+
+    from flightjax.core.sim import Simulation, SimState
+    from flightjax.models.c172 import c172x
+    from flightjax.models.c172 import c172x_ctl as CTL
+    from flightjax.models.c172.mappings import (C172XDashboardMapping,
+                                                c172x_dashboard)
+    from flightjax.physics.aircraftbase import SimpleWorld
+
+    world = SimpleWorld(c172x.build_xv1("wa"))
+    sim = Simulation(world, dt=0.02)
+    x, u, s = world.init()
+    state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
+                     x=x, u=u, s=s)
+    y = sim.output(state)
+
+    frame = c172x_dashboard(state, y)
+    kinds = {w["kind"] for w in frame}
+    assert kinds == {"text", "button", "bar", "slider"}
+    json.dumps(frame)
+
+    m = C172XDashboardMapping()
+    u2 = m.assign_input(state.u, (f"lon_mode:{CTL.LON_EAS_CLM}", True))
+    assert int(u2["avionics"]["lon"]["mode_req"]) == CTL.LON_EAS_CLM
+    u3 = m.assign_input(u2, ("EAS_ref", 45.0))
+    assert float(u3["avionics"]["lon"]["EAS_ref"]) == 45.0
+    u4 = m.assign_input(u3, ("chi_ref", 1.0))
+    assert float(u4["avionics"]["lat"]["chi_ref"]) == 1.0
+    with pytest.raises(Exception):
+        m.assign_input(u4, ("bogus_widget", 1.0))
