@@ -1,0 +1,28 @@
+"""Pallas cluster-step machinery: interpret-mode equivalence on the full
+C172 flagship (the on-hardware check is tools/validate_pallas.py)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flightjax.models.c172 import flagship_sim
+from flightjax.parallel.clusterstep import make_cluster_step
+
+
+def test_cluster_step_matches_plain():
+    B = 8
+    sim, state0, ctx = flagship_sim()
+    state = jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (B,) + jnp.shape(l)), state0)
+    step = make_cluster_step(sim, state, ctx, block=4, interpret=True)
+
+    got, ref = state, state
+    for _ in range(2):
+        got = step(got)
+        ref = jax.vmap(lambda s: sim.step(s, ctx))(ref)
+
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        err = float(jnp.max(jnp.abs(a.astype(jnp.float64)
+                                    - b.astype(jnp.float64))))
+        assert err < 1e-6, (a.dtype, err)
