@@ -51,7 +51,7 @@ def main():
             # written by tools/validate_pallas.py) or forced via env
             raise ImportError("pallas path not validated on this hardware")
         from flightjax.parallel.clusterstep import make_cluster_step
-        cstep = make_cluster_step(sim, state, ctx)
+        cstep = make_cluster_step(sim, state, ctx, split="subsystems")
 
         got = jax.block_until_ready(jax.jit(cstep)(state))
         ref = jax.jit(jax.vmap(lambda s: sim.step(s, ctx)))(state)

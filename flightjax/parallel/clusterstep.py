@@ -25,10 +25,19 @@ from flightjax.parallel.pallas_block import pallas_block
 from flightjax.parallel.megakernel import find_vehicle
 
 
-def make_cluster_step(sim, state, ctx=(), block=512, interpret=False):
+def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
+                      split="vehicle"):
     """Build `step(state) -> state` (batched SimState in/out) with the hot
     physics inside Pallas cluster kernels. `state` must be batched with
-    every leaf's leading dim == B, B % block == 0."""
+    every leaf's leading dim == B, B % block == 0.
+
+    split="vehicle": the whole model f_ode per stage kernel (fewest
+    launches). split="subsystems": three kernels per stage — kinematics +
+    atmosphere/airdata | vehicle systems | Newton-Euler dynamics — for
+    compilers that cap per-kernel program size (the remote Mosaic helper
+    SIGKILLs on the whole-vehicle kernel)."""
+    if split == "subsystems":
+        return _make_cluster_step_split(sim, state, ctx, block, interpret)
     sys = sim.system
     dt = sim.dt
     batch = int(jnp.shape(state.t)[0])
@@ -112,5 +121,208 @@ def make_cluster_step(sim, state, ctx=(), block=512, interpret=False):
             x, u, s = tree_where(fires, new_xus, (x, u, s))
 
         return SimState(t=t_new, i=i_new, x=x, u=u, s=s)
+
+    return step
+
+
+def _make_cluster_step_split(sim, state, ctx, block, interpret):
+    """split="subsystems" implementation: 3 kernels per RK4 stage
+    (kinematics+atmosphere/airdata | systems | dynamics) and 2 finish
+    kernels, each well under the remote Mosaic compiler's program-size cap.
+    Orchestration mirrors `Vehicle.f_ode` / `Vehicle.f_step`
+    (`physics/aircraftbase.py`, itself `aircraftbase.jl:142-181`)."""
+    import jax
+    from flightjax.core.modeling import bscale
+    from flightjax.parallel.pallas_block import pallas_block
+    from flightjax.physics.atmosphere import air_data
+    from flightjax.physics.dynamics import DynamicsU
+
+    sys_ = sim.system
+    dt = sim.dt
+    batch = int(jnp.shape(state.t)[0])
+    vehicle = find_vehicle(sys_)
+    assert vehicle is not None, "subsystems split requires a Vehicle model"
+    kin_c, sys_c, dyn_c = (vehicle.kinematics, vehicle.systems,
+                           vehicle.dynamics)
+    atm_c, trn_c = vehicle.atmosphere, vehicle.terrain
+
+    xv0 = state.x["vehicle"]
+    uv0 = state.u["vehicle"]
+    sv0 = state.s["vehicle"]
+    term0 = state.s["terminated"]
+    t0 = state.t
+    adt0 = jnp.zeros_like(state.t)
+    zk = jax.tree.map(jnp.zeros_like, xv0)
+
+    def fma(xt, kt, adt):
+        return jax.tree.map(lambda a, b: a + bscale(adt, b), xt, kt)
+
+    def alive_scale(tree, term):
+        alive = 1.0 - term
+        return jax.tree.map(lambda v: bscale(alive, v), tree)
+
+    # ---- K1: kinematics + atmosphere + airdata (stage-FMA folded in)
+    def k1_lane(x_kin, x_dyn, k_kin, k_dyn, geoid_N, u_atm, t, adt, term):
+        xi_kin = fma(x_kin, k_kin, adt)
+        xi_dyn = fma(x_dyn, k_dyn, adt)
+        kin_dot, kin = kin_c.f_ode(xi_kin, xi_dyn, geoid_N, t)
+        atm_d = atm_c.atmospheric_data(u_atm, kin.n_e, kin.h_o)
+        air = air_data(atm_d, kin)
+        return alive_scale(kin_dot, term), kin, air, xi_dyn
+
+    k1 = pallas_block(
+        jax.vmap(k1_lane),
+        (xv0["kinematics"], xv0["dynamics"], zk["kinematics"],
+         zk["dynamics"], sv0["geoid_N"], uv0["atm"], t0, adt0, term0),
+        batch=batch, block=block, interpret=interpret, name="k_kinair")
+
+    _, kin_ex, air_ex, _ = jax.eval_shape(
+        k1_lane, *(jax.tree.map(lambda l: l[0], a) for a in (
+            xv0["kinematics"], xv0["dynamics"], zk["kinematics"],
+            zk["dynamics"], sv0["geoid_N"], uv0["atm"], t0, adt0, term0)))
+    kin_ex = jax.tree.map(
+        lambda a: jnp.zeros((batch,) + a.shape, a.dtype), kin_ex)
+    air_ex = jax.tree.map(
+        lambda a: jnp.zeros((batch,) + a.shape, a.dtype), air_ex)
+
+    # ---- K2: vehicle systems (stage-FMA folded in)
+    def k2_lane(x_sys, k_sys, u_sys, s_sys, u_trn, kin, air, t, adt, term):
+        xi_sys = fma(x_sys, k_sys, adt)
+        trn_fn = lambda n_e=None: trn_c.terrain_data(u_trn, n_e)
+        sys_dot, sys_y = sys_c.f_ode(xi_sys, u_sys, s_sys, t, kin, air,
+                                     trn_fn)
+        return (alive_scale(sys_dot, term), sys_y.mp_b, sys_y.wr_b,
+                sys_y.hr_b)
+
+    k2 = pallas_block(
+        jax.vmap(k2_lane),
+        (xv0["systems"], zk["systems"], uv0["systems"], sv0["systems"],
+         uv0["trn"], kin_ex, air_ex, t0, adt0, term0),
+        batch=batch, block=block, interpret=interpret, name="k_systems")
+
+    mp_ex, wr_ex, hr_ex = (jax.eval_shape(
+        k2_lane, *(jax.tree.map(lambda l: l[0], a) for a in (
+            xv0["systems"], zk["systems"], uv0["systems"], sv0["systems"],
+            uv0["trn"], kin_ex, air_ex, t0, adt0, term0)))[1:])
+    mp_ex, wr_ex, hr_ex = (jax.tree.map(
+        lambda a: jnp.zeros((batch,) + a.shape[1:]
+                            if a.shape[:1] == (batch,) else
+                            (batch,) + a.shape, a.dtype), e)
+        for e in (mp_ex, wr_ex, hr_ex))
+
+    # ---- K3: Newton-Euler dynamics
+    def k3_lane(xi_dyn, mp_b, wr_b, hr_b, q_eb, r_eb_e, t, term):
+        dyn_u = DynamicsU(mp_sum_b=mp_b, wr_sum_b=wr_b, ho_sum_b=hr_b,
+                          q_eb=q_eb, r_eb_e=r_eb_e)
+        dyn_dot, _ = dyn_c.f_ode(xi_dyn, dyn_u, None, t)
+        return alive_scale(dyn_dot, term)
+
+    k3 = pallas_block(
+        jax.vmap(k3_lane),
+        (xv0["dynamics"], mp_ex, wr_ex, hr_ex,
+         jnp.zeros((batch, 4), t0.dtype), jnp.zeros((batch, 3), t0.dtype),
+         t0, term0),
+        batch=batch, block=block, interpret=interpret, name="k_dynamics")
+
+    def f_ode_stage(xv, kv, uv, sv, term, t, adt):
+        kin_dot, kin, air, xi_dyn = k1(
+            xv["kinematics"], xv["dynamics"], kv["kinematics"],
+            kv["dynamics"], sv["geoid_N"], uv["atm"], t, adt, term)
+        sys_dot, mp_b, wr_b, hr_b = k2(
+            xv["systems"], kv["systems"], uv["systems"], sv["systems"],
+            uv["trn"], kin, air, t, adt, term)
+        dyn_dot = k3(xi_dyn, mp_b, wr_b, hr_b, kin.q_eb, kin.r_eb_e, t,
+                     term)
+        return {"kinematics": kin_dot, "dynamics": dyn_dot,
+                "systems": sys_dot}
+
+    # ---- K4: RK4 combine (kin+dyn) + kinematics f_step + new context
+    def k4_lane(x_kin, x_dyn, ks_kin, ks_dyn, geoid_N, u_atm, t_new):
+        comb = lambda xv, k1_, k2_, k3_, k4_: jax.tree.map(
+            lambda a, b, c, d, e: a + (dt / 6.0) * (b + 2 * c + 2 * d + e),
+            xv, k1_, k2_, k3_, k4_)
+        x_kin2 = comb(x_kin, *ks_kin)
+        x_dyn2 = comb(x_dyn, *ks_dyn)
+        x_kin2, _ = kin_c.f_step(x_kin2, x_dyn2, None, t_new)
+        _, kin = kin_c.f_ode(x_kin2, x_dyn2, geoid_N, t_new)
+        atm_d = atm_c.atmospheric_data(u_atm, kin.n_e, kin.h_o)
+        air = air_data(atm_d, kin)
+        return x_kin2, x_dyn2, kin, air
+
+    ks_kin_ex = tuple(zk["kinematics"] for _ in range(4))
+    ks_dyn_ex = tuple(zk["dynamics"] for _ in range(4))
+    k4 = pallas_block(
+        jax.vmap(k4_lane),
+        (xv0["kinematics"], xv0["dynamics"], ks_kin_ex, ks_dyn_ex,
+         sv0["geoid_N"], uv0["atm"], t0),
+        batch=batch, block=block, interpret=interpret, name="k_finish_kin")
+
+    # ---- K5: RK4 combine (systems) + systems f_step
+    def k5_lane(x_sys, ks_sys, u_sys, s_sys, u_trn, kin, air, t_new):
+        x_sys2 = jax.tree.map(
+            lambda a, b, c, d, e: a + (dt / 6.0) * (b + 2 * c + 2 * d + e),
+            x_sys, *ks_sys)
+        trn_fn = lambda n_e=None: trn_c.terrain_data(u_trn, n_e)
+        x_sys3, s_sys2 = sys_c.f_step(x_sys2, u_sys, s_sys, t_new, kin,
+                                      air, trn_fn)
+        return x_sys3, s_sys2
+
+    ks_sys_ex = tuple(zk["systems"] for _ in range(4))
+    k5 = pallas_block(
+        jax.vmap(k5_lane),
+        (xv0["systems"], ks_sys_ex, uv0["systems"], sv0["systems"],
+         uv0["trn"], kin_ex, air_ex, t0),
+        batch=batch, block=block, interpret=interpret, name="k_finish_sys")
+
+    aircraft = getattr(sys_, "aircraft", None)
+    trivial_periodic = (aircraft is not None
+                        and getattr(aircraft, "avionics", None) is None)
+    spp = sim.steps_per_periodic
+
+    def step(st: SimState) -> SimState:
+        t, i, x, u, s = st
+        xv, uv, sv = x["vehicle"], u["vehicle"], s["vehicle"]
+        term = s["terminated"]
+        half = jnp.full_like(t, 0.5 * dt)
+        full = jnp.full_like(t, dt)
+        zero = jnp.zeros_like(t)
+
+        zeros = jax.tree.map(jnp.zeros_like, xv)
+        k1_ = f_ode_stage(xv, zeros, uv, sv, term, t, zero)
+        k2_ = f_ode_stage(xv, k1_, uv, sv, term, t + 0.5 * dt, half)
+        k3_ = f_ode_stage(xv, k2_, uv, sv, term, t + 0.5 * dt, half)
+        k4_ = f_ode_stage(xv, k3_, uv, sv, term, t + dt, full)
+        ks = (k1_, k2_, k3_, k4_)
+
+        t_new = sim.t_start + (i + 1) * dt
+        i_new = i + 1
+
+        x_kin2, x_dyn2, kin2, air2 = k4(
+            xv["kinematics"], xv["dynamics"],
+            tuple(k["kinematics"] for k in ks),
+            tuple(k["dynamics"] for k in ks),
+            sv["geoid_N"], uv["atm"], t_new)
+        x_sys2, s_sys2 = k5(
+            xv["systems"], tuple(k["systems"] for k in ks),
+            uv["systems"], sv["systems"], uv["trn"], kin2, air2, t_new)
+
+        xv2 = {"kinematics": x_kin2, "dynamics": x_dyn2, "systems": x_sys2}
+        sv2 = dict(sv, systems=s_sys2)
+        sv2 = jax.vmap(vehicle.refresh_geoid)(xv2, sv2)
+        crashed = s_sys2.get("crashed")
+        term2 = jnp.logical_or(term, crashed) if crashed is not None else term
+
+        x2 = dict(x, vehicle=xv2)
+        s2 = dict(s, vehicle=sv2, terminated=term2)
+        u2 = u
+        if not trivial_periodic:
+            fires = (i_new % spp) == 0
+            kk = i_new // spp - 1
+            new_xus = jax.vmap(
+                lambda xx, uu, ss, tt, kv: sys_.f_periodic(
+                    xx, uu, ss, tt, kv, *ctx))(x2, u2, s2, t_new, kk)
+            x2, u2, s2 = tree_where(fires, new_xus, (x2, u2, s2))
+
+        return SimState(t=t_new, i=i_new, x=x2, u=u2, s=s2)
 
     return step

@@ -23,7 +23,7 @@ def main():
         lambda l: jnp.broadcast_to(l, (batch,) + jnp.shape(l)), state0)
 
     t0 = time.perf_counter()
-    step = make_cluster_step(sim, state, ctx)
+    step = make_cluster_step(sim, state, ctx, split="subsystems")
     got = jax.block_until_ready(jax.jit(step)(state))
     print(f"compile+1 step: {time.perf_counter() - t0:.1f}s")
 
