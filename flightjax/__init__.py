@@ -17,3 +17,10 @@ __version__ = "0.1.0"
 
 from flightjax import ops
 from flightjax import core
+from flightjax import physics
+from flightjax import utils
+
+# umbrella re-exports (the reference's Reexport pattern, `src/Flight.jl`)
+from flightjax.core.sim import Simulation, SimState, TimeSeries
+from flightjax.core.modeling import Component, Subsampled
+from flightjax.core.mission import MissionAvionics, Phase
