@@ -52,6 +52,21 @@ def bscale(c, leaf):
     return c * leaf
 
 
+def bwhere(pred, a, b):
+    """`jnp.where` with a lower-rank bool `pred`, Mosaic-safe. A bool
+    minor-dim insertion does not lower inside Pallas kernels ("only
+    supported for 32-bit types"), so the rank expansion rides an int32
+    mask, expanded one trailing axis at a time like `bscale`, and is
+    converted back to bool at full shape. Exact `where` semantics
+    (non-selected branch may be non-finite)."""
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    shape = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b))
+    p = jnp.asarray(pred).astype(jnp.int32)
+    for n in shape[jnp.ndim(p):]:
+        p = jnp.broadcast_to(p[..., None], jnp.shape(p) + (n,))
+    return jnp.where(p != 0, a, b)
+
+
 def tree_where(pred, true_tree, false_tree):
     """Elementwise select between two identically-structured pytrees.
     `pred` is a scalar (or broadcastable) boolean. Bool leaves use the

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flightjax.core.modeling import Component
+from flightjax.core.modeling import Component, bwhere
 from flightjax.ops.interp import Lookup
 from flightjax.ops import geodesy as geo
 from flightjax.ops import attitude as att
@@ -217,7 +217,7 @@ class Aero(Component):
 
         # airflow angles with the low-TAS chattering guard (`c172.jl:318-325`)
         small = air.TAS <= 0.1
-        v_safe = jnp.where(small, jnp.asarray([1.0, 0.0, 0.0]), air.v_wb_b)
+        v_safe = bwhere(small, jnp.asarray([1.0, 0.0, 0.0]), air.v_wb_b)
         alpha_raw, beta_raw = atm.get_airflow_angles(v_safe)
         alpha = jnp.where(small, 0.0, alpha_raw)
         beta = jnp.where(small, 0.0, beta_raw)
@@ -424,14 +424,14 @@ class Systems(Component):
 
         # stall hysteresis needs only the current (unclamped) alpha
         small = air.TAS <= 0.1
-        v_safe = jnp.where(small, jnp.asarray([1.0, 0.0, 0.0]), air.v_wb_b)
+        v_safe = bwhere(small, jnp.asarray([1.0, 0.0, 0.0]), air.v_wb_b)
         alpha = jnp.where(small, 0.0, atm.get_airflow_angles(v_safe)[0])
         stall = self.aero.f_step_stall(alpha, s["aero"]["stall"])
 
         gear_u = self._gear_inputs(asg)
         from flightjax.physics.landinggear import ALPHA_TS_MAX, XI_DOT_MAX
         sy = self.ldg.strut_y(x["ldg"], gear_u, t, kin, trn)
-        x_ldg = {"frc": jnp.where(sy.wow[:, None], x["ldg"]["frc"], 0.0)}
+        x_ldg = {"frc": bwhere(sy.wow, x["ldg"]["frc"], 0.0)}
         crashed = jnp.logical_or(s["crashed"], jnp.any(jnp.logical_or(
             jnp.logical_and(sy.wow, sy.alpha_ts > ALPHA_TS_MAX),
             -sy.xi_dot > XI_DOT_MAX)))

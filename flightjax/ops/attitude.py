@@ -81,7 +81,9 @@ def matrix_to_quat(R):
                     R[..., 1, 2] + R[..., 2, 1],
                     c3], axis=-1)
 
-    im = i_max[..., None]
+    # expand the int32 index BEFORE comparing: a bool minor-dim insert does
+    # not lower in Mosaic kernels ("only supported for 32-bit types")
+    im = jnp.broadcast_to(i_max[..., None], jnp.shape(i_max) + (4,))
     v = jnp.where(im == 0, v0, jnp.where(im == 1, v1, jnp.where(im == 2, v2, v3)))
     return qnormalize(v)
 

@@ -27,13 +27,19 @@ from jax.experimental.pallas import tpu as pltpu
 from flightjax.ops.mathx import mosaic_safe
 
 
+# optional (name, closed_jaxpr) callback set by tools/audit_mosaic.py to
+# statically lint kernel bodies for Mosaic-unsupported ops without a
+# round-trip through the remote compiler
+AUDIT_HOOK = None
+
+
 def _batched(leaf, batch):
     shape = jnp.shape(leaf)
     return len(shape) >= 1 and shape[0] == batch
 
 
 def pallas_block(fn, example_args, batch, block=512, interpret=False,
-                 name=None):
+                 name=None, vmem_limit_bytes=64 * 1024 * 1024):
     """Compile `fn(*example_args) -> out_pytree` as one Pallas kernel.
 
     Leaves whose leading dim == `batch` are blocked over a (batch//block,)
@@ -64,6 +70,8 @@ def pallas_block(fn, example_args, batch, block=512, interpret=False,
     from jax import core as jcore
     with mosaic_safe():
         closed = jax.make_jaxpr(flat_fn)(*abstract)
+    if AUDIT_HOOK is not None:
+        AUDIT_HOOK(name, closed)
     consts = closed.consts
     const_shaped = [jnp.reshape(jnp.asarray(c), (1, 1))
                     if jnp.ndim(c) == 0 else jnp.asarray(c) for c in consts]
@@ -108,11 +116,21 @@ def pallas_block(fn, example_args, batch, block=512, interpret=False,
         (lambda n: lambda i: (i,) + (0,) * (n - 1))(len(a.shape)),
         memory_space=pltpu.VMEM) for a in out_avals]
 
+    # the stage kernels' jaxpr bodies carry O(100) live intermediates; the
+    # default 16 MiB scoped-vmem stack limit is too small at block>=1024
+    # (measured 21.2 MiB for the kinematics+air stage at batch 4096), while
+    # v5e has 128 MiB of VMEM per core — raise the per-kernel cap instead
+    # of shrinking blocks below the T(1024) 1-D layout tile.
+    params = (None if interpret else
+              pltpu.CompilerParams(
+                  dimension_semantics=("parallel",),
+                  vmem_limit_bytes=vmem_limit_bytes))
     call = pl.pallas_call(
         kernel, grid=(n_blocks,),
         in_specs=in_specs + const_specs,
         out_specs=out_specs, out_shape=out_shapes,
         interpret=interpret,
+        **({} if params is None else {"compiler_params": params}),
     )
 
     def wrapped(*args):

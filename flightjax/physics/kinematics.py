@@ -17,7 +17,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from flightjax.core.modeling import Component
+from flightjax.core.modeling import Component, bwhere
 from flightjax.ops import geodesy as geo
 from flightjax.ops import attitude as att
 from flightjax.ops.quaternions import qmul, qconj, qrot, qrot_inv, qdt, qnormalize
@@ -146,7 +146,7 @@ def _normalize_block(x, eps=1e-8):
     """Renormalize only when drifted beyond eps (`kinematics.jl:114-118`),
     branch-free."""
     n = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    return jnp.where(jnp.abs(n - 1.0) > eps, x / n, x)
+    return bwhere(jnp.abs(n - 1.0)[..., 0] > eps, x / n, x)
 
 
 def vel_input(omega_eb_b, v_eb_b):

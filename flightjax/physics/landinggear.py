@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from flightjax.core.modeling import Component
+from flightjax.core.modeling import Component, bwhere
 from flightjax.ops.quaternions import qmul, qconj, qrot, qrot_inv
 from flightjax.ops import geodesy as geo
 from flightjax.ops import attitude as att
@@ -254,7 +254,7 @@ class LandingGearUnit(Component):
 
         # mask everything but (delta_h, wow) with the wow=false defaults
         z, z3 = jnp.asarray(0.0), jnp.zeros(3)
-        sel = lambda a, b: jnp.where(wow, a, b)
+        sel = lambda a, b: bwhere(wow, a, b)
         return StrutY(
             delta_h=delta_h, wow=wow,
             xi=sel(xi, z), xi_dot=sel(xi_dot, z),
@@ -312,7 +312,7 @@ class LandingGearUnit(Component):
 
         # wow=false defaults (`:421-423`)
         z = jnp.asarray(0.0)
-        sel = lambda a, b: jnp.where(wow, a, b)
+        sel = lambda a, b: bwhere(wow, a, b)
         zero_wr = Wrench(F=jnp.zeros(3), tau=jnp.zeros(3))
         return ContactY(
             mu_roll=sel(m_roll, z), mu_skid=sel(m_skid, z),
