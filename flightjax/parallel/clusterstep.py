@@ -73,17 +73,17 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
 
     # --------------------------------------------------------- finish kernel
 
-    def finish_lane(x, k1, k2, k3, k4, u, s, t_new):
+    def finish_lane(x, ksum, u, s, t_new):
+        # ksum = k1 + 2k2 + 2k3 + k4, accumulated by the stage scan in the
+        # same association order as the former in-kernel combine
         x_new = jax.tree.map(
-            lambda xv, a, b, c, d: xv + (dt / 6.0) * (a + 2 * b + 2 * c + d),
-            x, k1, k2, k3, k4)
+            lambda xv, kv: xv + (dt / 6.0) * kv, x, ksum)
         x2, s2 = sys.f_step(x_new, u, s, t_new, *ctx)
         return x2, s2
 
     finish_b = _no_geoid(jax.vmap(finish_lane))
     finish_kernel = pallas_block(
-        finish_b, (state.x, zeros_x, zeros_x, zeros_x, zeros_x,
-                   state.u, state.s, state.t),
+        finish_b, (state.x, zeros_x, state.u, state.s, state.t),
         batch=batch, block=block, interpret=interpret, name="rk4_finish")
 
     # trivial periodic? (no avionics anywhere -> f_periodic is identity)
@@ -94,18 +94,29 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
 
     def step(st: SimState) -> SimState:
         t, i, x, u, s = st
-        half = jnp.full_like(t, 0.5 * dt)
-        full = jnp.full_like(t, dt)
-        zero = jnp.zeros_like(t)
 
-        k1 = stage_kernel(x, jax.tree.map(jnp.zeros_like, x), u, s, t, zero)
-        k2 = stage_kernel(x, k1, u, s, t + 0.5 * dt, half)
-        k3 = stage_kernel(x, k2, u, s, t + 0.5 * dt, half)
-        k4 = stage_kernel(x, k3, u, s, t + dt, full)
+        # stages via lax.scan so the stage kernel appears once in the
+        # compiled module (unrolled, 4 instantiations overran the remote
+        # Mosaic compile helper's memory cap); see the subsystems split
+        # below for the association-order note
+        zeros = jax.tree.map(jnp.zeros_like, x)
+        stage_c = jnp.asarray([0.0, 0.5 * dt, 0.5 * dt, dt], t.dtype)
+        stage_w = jnp.asarray([1.0, 2.0, 2.0, 1.0], t.dtype)
+
+        def stage_body(carry, cw):
+            kprev, acc = carry
+            c, w = cw
+            kcur = stage_kernel(x, kprev, u, s, t + c,
+                                jnp.zeros_like(t) + c)
+            acc = jax.tree.map(lambda a, b: a + w * b, acc, kcur)
+            return (kcur, acc), None
+
+        (_, ksum), _ = jax.lax.scan(
+            stage_body, (zeros, zeros), (stage_c, stage_w))
 
         t_new = sim.t_start + (i + 1) * dt
         i_new = i + 1
-        x, s = finish_kernel(x, k1, k2, k3, k4, u, s, t_new)
+        x, s = finish_kernel(x, ksum, u, s, t_new)
 
         if vehicle is not None:
             s_veh = jax.vmap(vehicle.refresh_geoid)(x["vehicle"],
@@ -236,41 +247,40 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret):
         return {"kinematics": kin_dot, "dynamics": dyn_dot,
                 "systems": sys_dot}
 
-    # ---- K4: RK4 combine (kin+dyn) + kinematics f_step + new context
-    def k4_lane(x_kin, x_dyn, ks_kin, ks_dyn, geoid_N, u_atm, t_new):
-        comb = lambda xv, k1_, k2_, k3_, k4_: jax.tree.map(
-            lambda a, b, c, d, e: a + (dt / 6.0) * (b + 2 * c + 2 * d + e),
-            xv, k1_, k2_, k3_, k4_)
-        x_kin2 = comb(x_kin, *ks_kin)
-        x_dyn2 = comb(x_dyn, *ks_dyn)
+    # ---- K4: RK4 combine (kin+dyn) + kinematics f_step + new context.
+    # Takes the stage-weighted k-sum (k1+2k2+2k3+k4), not the four stage
+    # trees: the stage loop below accumulates it in the same association
+    # order the combine previously used, so the result is bit-identical
+    # while the kernel's input count (and VMEM footprint) shrinks.
+    def k4_lane(x_kin, x_dyn, ksum_kin, ksum_dyn, geoid_N, u_atm, t_new):
+        comb = lambda xv, kv: jax.tree.map(
+            lambda a, b: a + (dt / 6.0) * b, xv, kv)
+        x_kin2 = comb(x_kin, ksum_kin)
+        x_dyn2 = comb(x_dyn, ksum_dyn)
         x_kin2, _ = kin_c.f_step(x_kin2, x_dyn2, None, t_new)
         _, kin = kin_c.f_ode(x_kin2, x_dyn2, geoid_N, t_new)
         atm_d = atm_c.atmospheric_data(u_atm, kin.n_e, kin.h_o)
         air = air_data(atm_d, kin)
         return x_kin2, x_dyn2, kin, air
 
-    ks_kin_ex = tuple(zk["kinematics"] for _ in range(4))
-    ks_dyn_ex = tuple(zk["dynamics"] for _ in range(4))
     k4 = pallas_block(
         jax.vmap(k4_lane),
-        (xv0["kinematics"], xv0["dynamics"], ks_kin_ex, ks_dyn_ex,
-         sv0["geoid_N"], uv0["atm"], t0),
+        (xv0["kinematics"], xv0["dynamics"], zk["kinematics"],
+         zk["dynamics"], sv0["geoid_N"], uv0["atm"], t0),
         batch=batch, block=block, interpret=interpret, name="k_finish_kin")
 
     # ---- K5: RK4 combine (systems) + systems f_step
-    def k5_lane(x_sys, ks_sys, u_sys, s_sys, u_trn, kin, air, t_new):
+    def k5_lane(x_sys, ksum_sys, u_sys, s_sys, u_trn, kin, air, t_new):
         x_sys2 = jax.tree.map(
-            lambda a, b, c, d, e: a + (dt / 6.0) * (b + 2 * c + 2 * d + e),
-            x_sys, *ks_sys)
+            lambda a, b: a + (dt / 6.0) * b, x_sys, ksum_sys)
         trn_fn = lambda n_e=None: trn_c.terrain_data(u_trn, n_e)
         x_sys3, s_sys2 = sys_c.f_step(x_sys2, u_sys, s_sys, t_new, kin,
                                       air, trn_fn)
         return x_sys3, s_sys2
 
-    ks_sys_ex = tuple(zk["systems"] for _ in range(4))
     k5 = pallas_block(
         jax.vmap(k5_lane),
-        (xv0["systems"], ks_sys_ex, uv0["systems"], sv0["systems"],
+        (xv0["systems"], zk["systems"], uv0["systems"], sv0["systems"],
          uv0["trn"], kin_ex, air_ex, t0),
         batch=batch, block=block, interpret=interpret, name="k_finish_sys")
 
@@ -283,27 +293,38 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret):
         t, i, x, u, s = st
         xv, uv, sv = x["vehicle"], u["vehicle"], s["vehicle"]
         term = s["terminated"]
-        half = jnp.full_like(t, 0.5 * dt)
-        full = jnp.full_like(t, dt)
-        zero = jnp.zeros_like(t)
-
         zeros = jax.tree.map(jnp.zeros_like, xv)
-        k1_ = f_ode_stage(xv, zeros, uv, sv, term, t, zero)
-        k2_ = f_ode_stage(xv, k1_, uv, sv, term, t + 0.5 * dt, half)
-        k3_ = f_ode_stage(xv, k2_, uv, sv, term, t + 0.5 * dt, half)
-        k4_ = f_ode_stage(xv, k3_, uv, sv, term, t + dt, full)
-        ks = (k1_, k2_, k3_, k4_)
+
+        # RK4 stages as a lax.scan over (dt-offset, weight) so each stage
+        # kernel appears ONCE in the compiled module. With the stages
+        # unrolled, k1/k2/k3 were instantiated 4x each — 14 Mosaic kernel
+        # compiles per module — which SIGKILLed the remote compile helper
+        # (memory cap); the scan form compiles 5. The weighted k-sum is
+        # accumulated ((k1+2k2)+2k3)+k4, matching the association order of
+        # the former in-kernel combine bit-for-bit.
+        stage_c = jnp.asarray([0.0, 0.5 * dt, 0.5 * dt, dt], t.dtype)
+        stage_w = jnp.asarray([1.0, 2.0, 2.0, 1.0], t.dtype)
+
+        def stage_body(carry, cw):
+            kprev, acc = carry
+            c, w = cw
+            adt = jnp.zeros_like(t) + c
+            kcur = f_ode_stage(xv, kprev, uv, sv, term, t + c, adt)
+            acc = jax.tree.map(lambda a, b: a + w * b, acc, kcur)
+            return (kcur, acc), None
+
+        (_, ksum), _ = jax.lax.scan(
+            stage_body, (zeros, zeros), (stage_c, stage_w))
 
         t_new = sim.t_start + (i + 1) * dt
         i_new = i + 1
 
         x_kin2, x_dyn2, kin2, air2 = k4(
             xv["kinematics"], xv["dynamics"],
-            tuple(k["kinematics"] for k in ks),
-            tuple(k["dynamics"] for k in ks),
+            ksum["kinematics"], ksum["dynamics"],
             sv["geoid_N"], uv["atm"], t_new)
         x_sys2, s_sys2 = k5(
-            xv["systems"], tuple(k["systems"] for k in ks),
+            xv["systems"], ksum["systems"],
             uv["systems"], sv["systems"], uv["trn"], kin2, air2, t_new)
 
         xv2 = {"kinematics": x_kin2, "dynamics": x_dyn2, "systems": x_sys2}

@@ -9,12 +9,14 @@ from flightjax.models.c172 import flagship_sim
 from flightjax.parallel.clusterstep import make_cluster_step
 
 
-def test_cluster_step_matches_plain():
+@pytest.mark.parametrize("split", [None, "subsystems"])
+def test_cluster_step_matches_plain(split):
     B = 8
     sim, state0, ctx = flagship_sim()
     state = jax.tree.map(
         lambda l: jnp.broadcast_to(l, (B,) + jnp.shape(l)), state0)
-    step = make_cluster_step(sim, state, ctx, block=4, interpret=True)
+    kw = {} if split is None else {"split": split}
+    step = make_cluster_step(sim, state, ctx, block=4, interpret=True, **kw)
 
     got, ref = state, state
     for _ in range(2):
