@@ -67,6 +67,20 @@ def bwhere(pred, a, b):
     return jnp.where(p != 0, a, b)
 
 
+def canonical(tree):
+    """Strip weak types from every leaf of a pytree (python scalars and
+    freshly-minted `jnp.asarray(0.0)` leaves are weakly typed). The hot
+    step's jit signature keys on weak_type, so a carry minted with weak
+    leaves recompiles once its outputs (strong) feed back in — one wasted
+    compile of the most expensive function in the program. Every state
+    constructor canonicalizes through here; zero-recompilation is enforced
+    by tests/test_compile_contract.py."""
+    def strong(l):
+        a = jnp.asarray(l)
+        return jax.lax.convert_element_type(a, a.dtype) if a.weak_type else a
+    return jax.tree.map(strong, tree)
+
+
 def tree_where(pred, true_tree, false_tree):
     """Elementwise select between two identically-structured pytrees.
     `pred` is a scalar (or broadcastable) boolean. Bool leaves use the

@@ -33,7 +33,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from flightjax.core.modeling import tree_where
+from flightjax.core.modeling import canonical, tree_where
 
 
 class SimState(NamedTuple):
@@ -139,7 +139,8 @@ class Simulation:
             x, u, s = (self.system.init_x(), self.system.init_u(),
                        self.system.init_s())
         t = jnp.asarray(self.t_start)
-        return SimState(t=t, i=jnp.asarray(0, dtype=jnp.int32), x=x, u=u, s=s)
+        return canonical(SimState(t=t, i=jnp.asarray(0, dtype=jnp.int32),
+                                  x=x, u=u, s=s))
 
     # ------------------------------------------------------------------ step
 
@@ -151,7 +152,9 @@ class Simulation:
 
         if x is not None:
             x = self._integ(sys.f_ode, x, u, s, t, dt, ctx)
-        t_new = self.t_start + (i + 1) * dt  # exact boundary hits, no drift
+        # exact boundary hits, no drift; strong-typed so the carry signature
+        # is stable under jit (see core.modeling.canonical)
+        t_new = jnp.asarray(self.t_start + (i + 1) * dt, jnp.result_type(t))
         i_new = i + 1
 
         x, s = sys.f_step(x, u, s, t_new, *ctx)
@@ -186,6 +189,7 @@ class Simulation:
         600 s autopilot flight is ~60 s of device time in one dispatch);
         with a cap, the outer loop runs host-side over identical jitted
         chunks (one compilation, many short dispatches)."""
+        state = canonical(state)  # weak-typed leaves would force a retrace
         if t0 is None:
             try:
                 t0 = float(state.t)

@@ -282,8 +282,10 @@ def flagship_sim():
         vehicle = world.aircraft.vehicle
         x, u, s, _, _ = trim(vehicle, C172.trim_parameters())
 
+    from flightjax.core.modeling import canonical
     from flightjax.core.sim import SimState
-    state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
-                     x={"vehicle": x}, u={"vehicle": u},
-                     s={"vehicle": s, "terminated": jnp.asarray(False)})
+    state = canonical(SimState(
+        t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
+        x={"vehicle": x}, u={"vehicle": u},
+        s={"vehicle": s, "terminated": jnp.asarray(False)}))
     return sim, state, ()

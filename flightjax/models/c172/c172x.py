@@ -294,6 +294,8 @@ def trim_world(aircraft: Aircraft, tp: C172.TrimParameters = None,
             av_u, av_s = aircraft.avionics.init_from_trim(veh_y, periodic_dt)
             u_w["avionics"] = av_u
             s_w["avionics"] = av_s
-    state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
-                     x=x_w, u=u_w, s=s_w)
+    from flightjax.core.modeling import canonical
+    state = canonical(SimState(t=jnp.asarray(0.0),
+                               i=jnp.asarray(0, dtype=jnp.int32),
+                               x=x_w, u=u_w, s=s_w))
     return state, ts, rnorm

@@ -114,7 +114,7 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
         (_, ksum), _ = jax.lax.scan(
             stage_body, (zeros, zeros), (stage_c, stage_w))
 
-        t_new = sim.t_start + (i + 1) * dt
+        t_new = jnp.asarray(sim.t_start + (i + 1) * dt, jnp.result_type(t))
         i_new = i + 1
         x, s = finish_kernel(x, ksum, u, s, t_new)
 
@@ -316,7 +316,7 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret):
         (_, ksum), _ = jax.lax.scan(
             stage_body, (zeros, zeros), (stage_c, stage_w))
 
-        t_new = sim.t_start + (i + 1) * dt
+        t_new = jnp.asarray(sim.t_start + (i + 1) * dt, jnp.result_type(t))
         i_new = i + 1
 
         x_kin2, x_dyn2, kin2, air2 = k4(
