@@ -50,24 +50,34 @@ def main():
     # the plain scan if the kernel fails to build or diverges.
     carry, roll = None, None
     import os
-    use_pallas = (os.environ.get("FLIGHTJAX_PALLAS") == "1"
-                  or os.path.exists(os.path.join(
-                      os.path.dirname(os.path.abspath(__file__)),
-                      ".pallas_ok")))
+    marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".pallas_ok")
+    variant = os.environ.get("FLIGHTJAX_PALLAS", "")
+    if not variant and os.path.exists(marker):
+        with open(marker) as f:
+            head = f.read().split()
+        variant = (head[0].split("=", 1)[1]
+                   if head and head[0].startswith("variant=") else "minor")
     try:
-        if not use_pallas:
+        if not variant:
             # the cluster kernels compile for minutes; only attempt them
             # once they have been validated on this hardware (.pallas_ok,
             # written by tools/validate_pallas.py) or forced via env
+            # (FLIGHTJAX_PALLAS=minor|subsystems)
             raise ImportError("pallas path not validated on this hardware")
         from flightjax.parallel.clusterstep import make_cluster_step
-        cstep = make_cluster_step(sim, state, ctx, split="subsystems")
+        from flightjax.parallel.pallas_block import to_major, to_minor
+        minor = variant == "minor" or variant == "1"
+        cstep = make_cluster_step(sim, state, ctx, split="subsystems",
+                                  layout="minor" if minor else "major")
 
-        got = jax.block_until_ready(jax.jit(cstep)(state))
+        carry0 = to_minor(state) if minor else state
+        got = jax.block_until_ready(jax.jit(cstep)(carry0))
         ref = jax.jit(jax.vmap(lambda s: sim.step(s, ctx)))(state)
         err = max(jax.tree.leaves(jax.tree.map(
             lambda a, b: float(jnp.max(jnp.abs(
-                a.astype(jnp.float32) - b.astype(jnp.float32)))), got, ref)))
+                a.astype(jnp.float32) - b.astype(jnp.float32)))),
+            to_major(got) if minor else got, ref)))
         if err > 1e-3:
             raise RuntimeError(f"cluster step diverges from plain step: {err}")
 
@@ -78,8 +88,8 @@ def main():
             c, _ = jax.lax.scan(body, st, None, length=steps_per_call)
             return c
 
-        carry, roll = state, roll_ck
-        name += "+pallas"
+        carry, roll = carry0, roll_ck
+        name += f"+pallas-{'minor' if minor else 'subsystems'}"
     except Exception as exc:  # pragma: no cover - fallback path
         print(f"# pallas cluster step unavailable ({type(exc).__name__}: "
               f"{exc}); plain scan", flush=True)

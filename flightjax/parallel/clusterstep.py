@@ -19,14 +19,14 @@ association order per leaf).
 import jax
 import jax.numpy as jnp
 
-from flightjax.core.modeling import tree_where
+from flightjax.core.modeling import bwhere, tree_where
 from flightjax.core.sim import SimState
 from flightjax.parallel.pallas_block import pallas_block
 from flightjax.parallel.megakernel import find_vehicle
 
 
 def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
-                      split="vehicle"):
+                      split="vehicle", layout="major"):
     """Build `step(state) -> state` (batched SimState in/out) with the hot
     physics inside Pallas cluster kernels. `state` must be batched with
     every leaf's leading dim == B, B % block == 0.
@@ -35,9 +35,20 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
     launches). split="subsystems": three kernels per stage — kinematics +
     atmosphere/airdata | vehicle systems | Newton-Euler dynamics — for
     compilers that cap per-kernel program size (the remote Mosaic helper
-    SIGKILLs on the whole-vehicle kernel)."""
+    SIGKILLs on the whole-vehicle kernel).
+
+    layout="minor" (split="subsystems" only): the step consumes and
+    produces a batch-MINOR SimState (`pallas_block.to_minor(state)`),
+    keeping the fleet on the 128-wide lane dimension through the whole
+    scan. Inside the kernels a 3-vector temp is then [3, block] instead of
+    [block, 3] — ~16-40x less VMEM tile padding (the Newton-Euler kernel
+    drops from 72 MiB scoped VMEM to a few MiB) and far less padded-tile
+    VPU waste. Convert once before the scan and back after with
+    `to_minor`/`to_major`."""
     if split == "subsystems":
-        return _make_cluster_step_split(sim, state, ctx, block, interpret)
+        return _make_cluster_step_split(sim, state, ctx, block, interpret,
+                                        minor=(layout == "minor"))
+    assert layout == "major", "layout='minor' requires split='subsystems'"
     sys = sim.system
     dt = sim.dt
     batch = int(jnp.shape(state.t)[0])
@@ -124,27 +135,34 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
             s = dict(s, vehicle=s_veh)
 
         if not trivial_periodic:
-            fires = (i_new % spp) == 0
+            fires = (i_new % spp) == 0  # [B]: needs leading-axis broadcast
             k = i_new // spp - 1
             new_xus = jax.vmap(
                 lambda xx, uu, ss, tt, kk: sys.f_periodic(
                     xx, uu, ss, tt, kk, *ctx))(x, u, s, t_new, k)
-            x, u, s = tree_where(fires, new_xus, (x, u, s))
+            x, u, s = jax.tree.map(lambda a, b: bwhere(fires, a, b),
+                                   new_xus, (x, u, s))
 
         return SimState(t=t_new, i=i_new, x=x, u=u, s=s)
 
     return step
 
 
-def _make_cluster_step_split(sim, state, ctx, block, interpret):
+def _make_cluster_step_split(sim, state, ctx, block, interpret, minor=False):
     """split="subsystems" implementation: 3 kernels per RK4 stage
     (kinematics+atmosphere/airdata | systems | dynamics) and 2 finish
     kernels, each well under the remote Mosaic compiler's program-size cap.
     Orchestration mirrors `Vehicle.f_ode` / `Vehicle.f_step`
-    (`physics/aircraftbase.py`, itself `aircraftbase.jl:142-181`)."""
+    (`physics/aircraftbase.py`, itself `aircraftbase.jl:142-181`).
+
+    With `minor=True` every kernel is built with `pallas_block_minor` (the
+    same per-lane functions, vmapped over the LAST axis) and the step's
+    SimState is batch-minor throughout; `state` is still passed
+    batch-leading (it is only used for shapes)."""
     import jax
     from flightjax.core.modeling import bscale
-    from flightjax.parallel.pallas_block import pallas_block
+    from flightjax.parallel.pallas_block import (pallas_block,
+                                                 pallas_block_minor)
     from flightjax.physics.atmosphere import air_data
     from flightjax.physics.dynamics import DynamicsU
 
@@ -165,6 +183,13 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret):
     adt0 = jnp.zeros_like(state.t)
     zk = jax.tree.map(jnp.zeros_like, xv0)
 
+    def build(lane, args, name):
+        if minor:
+            return pallas_block_minor(lane, args, batch=batch, block=block,
+                                      interpret=interpret, name=name)
+        return pallas_block(jax.vmap(lane), args, batch=batch, block=block,
+                            interpret=interpret, name=name)
+
     def fma(xt, kt, adt):
         return jax.tree.map(lambda a, b: a + bscale(adt, b), xt, kt)
 
@@ -181,11 +206,11 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret):
         air = air_data(atm_d, kin)
         return alive_scale(kin_dot, term), kin, air, xi_dyn
 
-    k1 = pallas_block(
-        jax.vmap(k1_lane),
+    k1 = build(
+        k1_lane,
         (xv0["kinematics"], xv0["dynamics"], zk["kinematics"],
          zk["dynamics"], sv0["geoid_N"], uv0["atm"], t0, adt0, term0),
-        batch=batch, block=block, interpret=interpret, name="k_kinair")
+        "k_kinair")
 
     _, kin_ex, air_ex, _ = jax.eval_shape(
         k1_lane, *(jax.tree.map(lambda l: l[0], a) for a in (
@@ -205,11 +230,11 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret):
         return (alive_scale(sys_dot, term), sys_y.mp_b, sys_y.wr_b,
                 sys_y.hr_b)
 
-    k2 = pallas_block(
-        jax.vmap(k2_lane),
+    k2 = build(
+        k2_lane,
         (xv0["systems"], zk["systems"], uv0["systems"], sv0["systems"],
          uv0["trn"], kin_ex, air_ex, t0, adt0, term0),
-        batch=batch, block=block, interpret=interpret, name="k_systems")
+        "k_systems")
 
     mp_ex, wr_ex, hr_ex = (jax.eval_shape(
         k2_lane, *(jax.tree.map(lambda l: l[0], a) for a in (
@@ -228,12 +253,12 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret):
         dyn_dot, _ = dyn_c.f_ode(xi_dyn, dyn_u, None, t)
         return alive_scale(dyn_dot, term)
 
-    k3 = pallas_block(
-        jax.vmap(k3_lane),
+    k3 = build(
+        k3_lane,
         (xv0["dynamics"], mp_ex, wr_ex, hr_ex,
          jnp.zeros((batch, 4), t0.dtype), jnp.zeros((batch, 3), t0.dtype),
          t0, term0),
-        batch=batch, block=block, interpret=interpret, name="k_dynamics")
+        "k_dynamics")
 
     def f_ode_stage(xv, kv, uv, sv, term, t, adt):
         kin_dot, kin, air, xi_dyn = k1(
@@ -263,11 +288,11 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret):
         air = air_data(atm_d, kin)
         return x_kin2, x_dyn2, kin, air
 
-    k4 = pallas_block(
-        jax.vmap(k4_lane),
+    k4 = build(
+        k4_lane,
         (xv0["kinematics"], xv0["dynamics"], zk["kinematics"],
          zk["dynamics"], sv0["geoid_N"], uv0["atm"], t0),
-        batch=batch, block=block, interpret=interpret, name="k_finish_kin")
+        "k_finish_kin")
 
     # ---- K5: RK4 combine (systems) + systems f_step
     def k5_lane(x_sys, ksum_sys, u_sys, s_sys, u_trn, kin, air, t_new):
@@ -278,11 +303,11 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret):
                                       air, trn_fn)
         return x_sys3, s_sys2
 
-    k5 = pallas_block(
-        jax.vmap(k5_lane),
+    k5 = build(
+        k5_lane,
         (xv0["systems"], zk["systems"], uv0["systems"], sv0["systems"],
          uv0["trn"], kin_ex, air_ex, t0),
-        batch=batch, block=block, interpret=interpret, name="k_finish_sys")
+        "k_finish_sys")
 
     aircraft = getattr(sys_, "aircraft", None)
     trivial_periodic = (aircraft is not None
@@ -329,7 +354,9 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret):
 
         xv2 = {"kinematics": x_kin2, "dynamics": x_dyn2, "systems": x_sys2}
         sv2 = dict(sv, systems=s_sys2)
-        sv2 = jax.vmap(vehicle.refresh_geoid)(xv2, sv2)
+        ax = -1 if minor else 0  # batch axis of every leaf outside kernels
+        sv2 = jax.vmap(vehicle.refresh_geoid, in_axes=ax, out_axes=ax)(
+            xv2, sv2)
         crashed = s_sys2.get("crashed")
         term2 = jnp.logical_or(term, crashed) if crashed is not None else term
 
@@ -341,8 +368,17 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret):
             kk = i_new // spp - 1
             new_xus = jax.vmap(
                 lambda xx, uu, ss, tt, kv: sys_.f_periodic(
-                    xx, uu, ss, tt, kv, *ctx))(x2, u2, s2, t_new, kk)
-            x2, u2, s2 = tree_where(fires, new_xus, (x2, u2, s2))
+                    xx, uu, ss, tt, kv, *ctx),
+                in_axes=ax, out_axes=ax)(x2, u2, s2, t_new, kk)
+            # batch-minor leaves broadcast `fires` [B] on the trailing axis
+            # natively; batch-leading rank>1 leaves need the leading-axis
+            # expansion bwhere provides
+            if minor:
+                x2, u2, s2 = tree_where(fires, new_xus, (x2, u2, s2))
+            else:
+                x2, u2, s2 = jax.tree.map(
+                    lambda a, b: bwhere(fires, a, b),
+                    new_xus, (x2, u2, s2))
 
         return SimState(t=t_new, i=i_new, x=x2, u=u2, s=s2)
 

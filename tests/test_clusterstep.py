@@ -7,24 +7,40 @@ import pytest
 
 from flightjax.models.c172 import flagship_sim
 from flightjax.parallel.clusterstep import make_cluster_step
+from flightjax.parallel.pallas_block import to_major, to_minor
 
 
-@pytest.mark.parametrize("split", [None, "subsystems"])
-def test_cluster_step_matches_plain(split):
+@pytest.mark.parametrize("mode", ["vehicle", "subsystems", "minor"])
+def test_cluster_step_matches_plain(mode):
     B = 8
     sim, state0, ctx = flagship_sim()
     state = jax.tree.map(
         lambda l: jnp.broadcast_to(l, (B,) + jnp.shape(l)), state0)
-    kw = {} if split is None else {"split": split}
+    kw = ({"split": "subsystems", "layout": "minor"} if mode == "minor"
+          else {"split": mode})
     step = make_cluster_step(sim, state, ctx, block=4, interpret=True, **kw)
 
     got, ref = state, state
+    if mode == "minor":
+        got = to_minor(got)
     for _ in range(2):
         got = step(got)
         ref = jax.vmap(lambda s: sim.step(s, ctx))(ref)
+    if mode == "minor":
+        got = to_major(got)
 
     for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
         assert a.dtype == b.dtype and a.shape == b.shape
         err = float(jnp.max(jnp.abs(a.astype(jnp.float64)
                                     - b.astype(jnp.float64))))
         assert err < 1e-6, (a.dtype, err)
+
+
+def test_to_minor_roundtrip():
+    sim, state0, ctx = flagship_sim()
+    state = jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (4,) + jnp.shape(l)), state0)
+    back = to_major(to_minor(state))
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(state)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        assert bool(jnp.all(a == b))
