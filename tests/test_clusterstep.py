@@ -36,6 +36,57 @@ def test_cluster_step_matches_plain(mode):
         assert err < 1e-6, (a.dtype, err)
 
 
+@pytest.mark.parametrize("layout", ["major", "minor"])
+def test_cluster_step_avionics_periodic(layout):
+    """Cluster step over a C172Xv1 world (gain-scheduled autopilot): the
+    avionics f_periodic runs as XLA glue between kernels and its update
+    must land through the batched fires-mask (leading-axis broadcast for
+    batch-major leaves, trailing for batch-minor)."""
+    import os
+
+    from flightjax.core.sim import Simulation
+    from flightjax.models.c172 import c172x, common as C172
+    from flightjax.models.c172 import c172x_ctl as CTL
+    from flightjax.models.c172.c172x_design import GAINS_PATH
+    from flightjax.physics.aircraftbase import SimpleWorld
+
+    if not os.path.exists(GAINS_PATH):
+        pytest.skip("gain schedules not generated")
+
+    B = 4
+    aircraft = c172x.build_xv1("wa")
+    world = SimpleWorld(aircraft)
+    sim = Simulation(world, dt=0.01, periodic_dt=0.01)
+    state0, _, _ = c172x.trim_world(aircraft, C172.trim_parameters(),
+                                    periodic_dt=0.01)
+    # engage SAS so f_periodic actually writes commands
+    av = {"lon": dict(state0.u["avionics"]["lon"],
+                      mode_req=jnp.asarray(CTL.LON_SAS, dtype=jnp.int32)),
+          "lat": dict(state0.u["avionics"]["lat"],
+                      mode_req=jnp.asarray(CTL.LAT_SAS, dtype=jnp.int32))}
+    state0 = state0._replace(u=dict(state0.u, avionics=av))
+    state = jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (B,) + jnp.shape(l)), state0)
+
+    step = make_cluster_step(sim, state, (), block=2, interpret=True,
+                             split="subsystems", layout=layout)
+
+    got, ref = state, state
+    if layout == "minor":
+        got = to_minor(got)
+    for _ in range(2):
+        got = step(got)
+        ref = jax.vmap(lambda s: sim.step(s, ()))(ref)
+    if layout == "minor":
+        got = to_major(got)
+
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        err = float(jnp.max(jnp.abs(a.astype(jnp.float64)
+                                    - b.astype(jnp.float64))))
+        assert err < 1e-6, (a.dtype, err)
+
+
 def test_to_minor_roundtrip():
     sim, state0, ctx = flagship_sim()
     state = jax.tree.map(
