@@ -98,7 +98,7 @@ def main():
         @jax.jit
         def roll_plain(st):
             def body(st, _):
-                return jax.vmap(lambda s: sim.step(s, ctx))(st), None
+                return sim.fleet_step(st, ctx), None
             st, _ = jax.lax.scan(body, st, None, length=steps_per_call)
             return st
 

@@ -110,7 +110,7 @@ class Simulation:
     """
 
     def __init__(self, system, dt=0.02, periodic_dt=None, t_start=0.0,
-                 algorithm="rk4"):
+                 algorithm="rk4", geoid_every=1):
         self.system = system
         self.dt = float(dt)
         self.periodic_dt = float(periodic_dt) if periodic_dt is not None else float(dt)
@@ -122,6 +122,7 @@ class Simulation:
                 f"periodic_dt ({self.periodic_dt}) must be a positive integer "
                 f"multiple of dt ({self.dt})")
         self._integ = _INTEGRATORS[algorithm]
+        self.geoid_every = int(geoid_every)
         # publish the effective sampling period on the system (the functional
         # analog of the reference's `mdl.Δt`, `modeling.jl:181-182`), so
         # discrete sub-updates can read their step size
@@ -166,6 +167,46 @@ class Simulation:
         x, u, s = tree_where(fires, new_xus, (x, u, s))
 
         return SimState(t=t_new, i=i_new, x=x, u=u, s=s)
+
+    def fleet_step(self, state: SimState, ctx=(), geoid_every=None) -> SimState:
+        """Batched `step` over a stacked SimState (leading fleet axis), with
+        the EGM96 geoid refresh hoisted out of the per-lane step.
+
+        The refresh reads two [B, 1441] grid rows — by far the widest HBM
+        traffic in the step (~50 MB/step at batch 4096) for a quantity whose
+        true change per 20 ms step is micrometres (geoid slope <~1e-4 m/m,
+        aircraft advance ~1.5 m/step). Hoisting it to fleet level makes the
+        firing predicate a SCALAR (`state.i[0]`), so `lax.cond` genuinely
+        skips the branch at runtime — under `vmap` the per-lane predicate
+        would lower to a select that always executes both sides.
+
+        `geoid_every` = K refreshes the carried undulation on every K-th
+        step (default: the Simulation's `geoid_every`, itself default 1 =
+        exact per-step semantics). All lanes share one step counter (true
+        for any fleet stepped together from a common start index)."""
+        from flightjax.parallel.megakernel import find_vehicle
+
+        K = self.geoid_every if geoid_every is None else int(geoid_every)
+        vehicle = find_vehicle(self.system)
+        if vehicle is None or not getattr(vehicle, "geoid_in_step", False):
+            return jax.vmap(lambda st: self.step(st, ctx))(state)
+
+        vehicle.geoid_in_step = False
+        try:
+            new = jax.vmap(lambda st: self.step(st, ctx))(state)
+        finally:
+            vehicle.geoid_in_step = True
+
+        def refresh(operand):
+            x, s = operand
+            s_veh = jax.vmap(vehicle.refresh_geoid)(x["vehicle"],
+                                                    s["vehicle"])
+            return dict(s, vehicle=s_veh)
+
+        i0 = new.i.reshape(-1)[0]
+        s2 = jax.lax.cond((i0 % K) == 0, refresh, lambda op: op[1],
+                          (new.x, new.s))
+        return new._replace(s=s2)
 
     def output(self, state: SimState, ctx=()):
         """Compute the model output y at the current state."""

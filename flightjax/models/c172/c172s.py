@@ -274,7 +274,11 @@ def flagship_sim():
     from flightjax.core.sim import Simulation
 
     world = flagship_world("wa")
-    sim = Simulation(world, dt=0.02, periodic_dt=0.02)
+    # geoid_every=16: the carried EGM96 undulation refreshes every 16th step
+    # via Simulation.fleet_step — at ~1.5 m of travel per 20 ms step the
+    # undulation moves micrometres between refreshes (slope <~1e-4 m/m),
+    # while the refresh itself is the widest HBM read in the step
+    sim = Simulation(world, dt=0.02, periodic_dt=0.02, geoid_every=16)
 
     # trim on the host CPU (eager design-time work), then assemble the
     # aircraft/world-level SimState

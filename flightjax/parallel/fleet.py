@@ -27,9 +27,10 @@ def broadcast_state(state, batch):
 
 
 def fleet_step_fn(sim, ctx=()):
-    """Jittable fleet step: SimState with leading batch axis -> next."""
-    step = jax.vmap(lambda s: sim.step(s, ctx))
-    return jax.jit(step)
+    """Jittable fleet step: SimState with leading batch axis -> next.
+    Routed through `Simulation.fleet_step` so the EGM96 geoid refresh runs
+    at the fleet level, gated to every `sim.geoid_every`-th step."""
+    return jax.jit(lambda s: sim.fleet_step(s, ctx))
 
 
 def fleet_rollout(sim, state, n_steps, ctx=(), unroll=1):
@@ -38,7 +39,7 @@ def fleet_rollout(sim, state, n_steps, ctx=(), unroll=1):
     @jax.jit
     def roll(st):
         def body(s, _):
-            return jax.vmap(lambda q: sim.step(q, ctx))(s), None
+            return sim.fleet_step(s, ctx), None
         st, _ = jax.lax.scan(body, st, None, length=n_steps, unroll=unroll)
         return st
 
@@ -117,7 +118,7 @@ def sharded_rollout_fn(sim, mesh, n_steps, ctx=(), mesh_axis="dp"):
 
     def local(st):
         def body(s, _):
-            return jax.vmap(lambda q: sim.step(q, ctx))(s), None
+            return sim.fleet_step(s, ctx), None
         st, _ = jax.lax.scan(body, st, None, length=n_steps)
         t_mean = jax.lax.pmean(jnp.mean(st.t), axis_name=mesh_axis)
         return st, t_mean

@@ -1,0 +1,66 @@
+"""Simulation.fleet_step: the batched step with the EGM96 geoid refresh
+hoisted to fleet level behind a scalar-predicate lax.cond.
+
+Contract: geoid_every=1 is bit-identical to jax.vmap(sim.step); larger
+intervals may only perturb the carried undulation by the geoid slope times
+the distance flown between refreshes (micrometres at C172 speeds)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flightjax.models.c172 import flagship_sim
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    sim, state0, ctx = flagship_sim()
+    B = 2
+    state = jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (B,) + jnp.shape(l)), state0)
+    return sim, state, ctx
+
+
+def _roll(fn, state, n):
+    def body(st, _):
+        return fn(st), None
+    return jax.lax.scan(body, state, None, length=n)[0]
+
+
+def _max_err(a, b):
+    return max(jax.tree.leaves(jax.tree.map(
+        lambda x, y: float(jnp.max(jnp.abs(
+            x.astype(jnp.float64) - y.astype(jnp.float64)))), a, b)))
+
+
+def test_fleet_step_k1_bit_exact(flagship):
+    sim, state, ctx = flagship
+    ref = jax.jit(lambda s: _roll(
+        jax.vmap(lambda st: sim.step(st, ctx)), s, 8))(state)
+    got = jax.jit(lambda s: _roll(
+        lambda st: sim.fleet_step(st, ctx, geoid_every=1), s, 8))(state)
+    assert _max_err(got, ref) == 0.0
+
+
+def test_fleet_step_k8_micrometre_drift(flagship):
+    sim, state, ctx = flagship
+    ref = jax.jit(lambda s: _roll(
+        jax.vmap(lambda st: sim.step(st, ctx)), s, 8))(state)
+    got = jax.jit(lambda s: _roll(
+        lambda st: sim.fleet_step(st, ctx, geoid_every=8), s, 8))(state)
+    # stale undulation between refreshes: bounded by geoid slope x distance
+    assert _max_err(got, ref) < 1e-4
+
+
+def test_fleet_step_no_vehicle_fallback():
+    """Systems without a Vehicle (Robot2D) take the plain vmap path."""
+    from flightjax.core.sim import Simulation
+    from flightjax.models.robot2d import Robot
+
+    sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02, geoid_every=4)
+    state0 = sim.init()
+    state = jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (3,) + jnp.shape(l)), state0)
+    ref = jax.jit(jax.vmap(lambda st: sim.step(st)))(state)
+    got = jax.jit(lambda s: sim.fleet_step(s))(state)
+    assert _max_err(got, ref) == 0.0
