@@ -73,7 +73,7 @@ def main():
 
         carry0 = to_minor(state) if minor else state
         got = jax.block_until_ready(jax.jit(cstep)(carry0))
-        ref = jax.jit(jax.vmap(lambda s: sim.step(s, ctx)))(state)
+        ref = jax.jit(lambda st: sim.fleet_step(st, ctx))(state)
         err = max(jax.tree.leaves(jax.tree.map(
             lambda a, b: float(jnp.max(jnp.abs(
                 a.astype(jnp.float32) - b.astype(jnp.float32)))),

@@ -130,8 +130,22 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
         x, s = finish_kernel(x, ksum, u, s, t_new)
 
         if vehicle is not None:
-            s_veh = jax.vmap(vehicle.refresh_geoid)(x["vehicle"],
-                                                    s["vehicle"])
+            # same fleet-level scalar gating as `Simulation.fleet_step`:
+            # the two [B, 1441] EGM96 grid rows are the widest HBM read in
+            # the step; with a scalar predicate lax.cond genuinely skips it
+            K = max(1, int(getattr(sim, "geoid_every", 1)))
+
+            def _refresh(op):
+                xv_, sv_ = op
+                return jax.vmap(vehicle.refresh_geoid)(xv_, sv_)
+
+            if K == 1:
+                s_veh = _refresh((x["vehicle"], s["vehicle"]))
+            else:
+                i0 = i_new.reshape(-1)[0]
+                s_veh = jax.lax.cond((i0 % K) == 0, _refresh,
+                                     lambda op: op[1],
+                                     (x["vehicle"], s["vehicle"]))
             s = dict(s, vehicle=s_veh)
 
         if not trivial_periodic:
@@ -355,8 +369,20 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret, minor=False):
         xv2 = {"kinematics": x_kin2, "dynamics": x_dyn2, "systems": x_sys2}
         sv2 = dict(sv, systems=s_sys2)
         ax = -1 if minor else 0  # batch axis of every leaf outside kernels
-        sv2 = jax.vmap(vehicle.refresh_geoid, in_axes=ax, out_axes=ax)(
-            xv2, sv2)
+        # fleet-level scalar-gated geoid refresh (see Simulation.fleet_step)
+        K = max(1, int(getattr(sim, "geoid_every", 1)))
+
+        def _refresh(op):
+            xv_, sv_ = op
+            return jax.vmap(vehicle.refresh_geoid, in_axes=ax,
+                            out_axes=ax)(xv_, sv_)
+
+        if K == 1:
+            sv2 = _refresh((xv2, sv2))
+        else:
+            i0 = i_new.reshape(-1)[0]
+            sv2 = jax.lax.cond((i0 % K) == 0, _refresh, lambda op: op[1],
+                               (xv2, sv2))
         crashed = s_sys2.get("crashed")
         term2 = jnp.logical_or(term, crashed) if crashed is not None else term
 

@@ -153,6 +153,42 @@ def test_eas_alt_acquire_and_hold(rig):
     assert abs(float(y.airflow.EAS) - float(y_trim.airflow.EAS)) < 0.5
 
 
+def test_thr_q_tracking(rig):
+    """LON_THR_Q: direct throttle + pitch-rate tracking through the q2e
+    integrator+PID over the te2te SAS (`test_c172x1.jl` thr_q block)."""
+    sim, s0, vehicle, y_trim = rig
+    state = set_ctl(s0, lon__mode_req=CTL.LON_THR_Q,
+                    lat__mode_req=CTL.LAT_PHI_BETA, lon__q_ref=0.01)
+    final = run(sim, state, 5.0)
+    y = veh_y(vehicle, final)
+    assert abs(float(y.kinematics.omega_wb_b[1]) - 0.01) < 1e-3
+
+
+def test_eas_q_tracking(rig):
+    """LON_EAS_Q: EAS via throttle (v2t PID) + pitch rate via elevator."""
+    sim, s0, vehicle, y_trim = rig
+    state = set_ctl(s0, lon__mode_req=CTL.LON_EAS_Q,
+                    lat__mode_req=CTL.LAT_PHI_BETA,
+                    lon__EAS_ref=45.0, lon__q_ref=0.0)
+    final = run(sim, state, 30.0)
+    y = veh_y(vehicle, final)
+    assert abs(float(y.kinematics.omega_wb_b[1])) < 1e-3
+    assert abs(float(y.airflow.EAS) - 45.0) < 0.3
+
+
+def test_eas_theta_tracking(rig):
+    """LON_EAS_THETA: EAS via throttle + pitch attitude via the theta->q
+    conversion feeding the q2e loop."""
+    sim, s0, vehicle, y_trim = rig
+    state = set_ctl(s0, lon__mode_req=CTL.LON_EAS_THETA,
+                    lat__mode_req=CTL.LAT_PHI_BETA,
+                    lon__EAS_ref=48.0, lon__theta_ref=np.deg2rad(3))
+    final = run(sim, state, 30.0)
+    y = veh_y(vehicle, final)
+    assert abs(float(y.kinematics.e_nb[1]) - np.deg2rad(3)) < 1e-3
+    assert abs(float(y.airflow.EAS) - 48.0) < 0.3
+
+
 def test_chi_beta_tracking(rig):
     sim, s0, vehicle, y_trim = rig
     state = set_ctl(s0, lon__mode_req=CTL.LON_SAS,

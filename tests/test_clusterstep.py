@@ -25,7 +25,10 @@ def test_cluster_step_matches_plain(mode):
         got = to_minor(got)
     for _ in range(2):
         got = step(got)
-        ref = jax.vmap(lambda s: sim.step(s, ctx))(ref)
+        # fleet_step is the semantic reference: both paths step the vehicle
+        # with geoid_in_step=False and refresh the carried undulation at
+        # fleet level under the same scalar `geoid_every` gate
+        ref = sim.fleet_step(ref, ctx)
     if mode == "minor":
         got = to_major(got)
 

@@ -1,0 +1,171 @@
+"""Measure & report every BASELINE.json config on the current TPU chip and
+write BENCHMARKS.md at the repo root.
+
+Configs (BASELINE.json "configs"):
+  1. Robot2D self-balancing robot, t_end=100 s, dt=0.01
+  2. Cessna 172S v0 (NED): trim + 10 s elevator-step response, headless
+  3. Cessna 172X fly-by-wire: 600 s turning climb, gain-scheduled autopilot
+     + wind (the reference's `turning_climb`, `c172_demos.jl:214-259`)
+  4. Trim + linearize: Newton trim solve + NED state-space extraction
+  5. Monte Carlo fleet: 4096 vmapped C172s, randomized wind/mass/CG/fuel,
+     full 600 s rollout on one chip
+
+Run: python tools/bench_report.py            (~5 min incl. compiles)
+Compile time is reported separately from the steady-state wall-clock
+(second call on identical shapes; XLA executable reuse).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+except Exception:
+    pass
+
+
+def timed(fn, *args, reps=3, **kw):
+    """(cold_seconds, warm_seconds, result): first call incl. compile, then
+    the median of `reps` warm calls."""
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(*args, **kw))
+    cold = time.perf_counter() - t0
+    warm = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*args, **kw))
+        warm.append(time.perf_counter() - t0)
+    warm.sort()
+    return cold, warm[len(warm) // 2], out
+
+
+def bench_robot2d():
+    from flightjax.core.sim import Simulation
+    from flightjax.models.robot2d import Robot
+
+    sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02)
+    state0 = sim.init()
+
+    def run(st):
+        final, _ = sim.run(st, t_end=100.0, t0=0.0, save_every=100)
+        return final
+
+    cold, warm, final = timed(run, state0)
+    assert bool(jnp.isfinite(final.x["vehicle"]["theta"]).all())
+    return {"config": "robot2d_100s", "steps": 10000,
+            "compile_s": round(cold - warm, 2), "wall_s": round(warm, 4),
+            "sim_time_per_wall": round(100.0 / warm, 1)}
+
+
+def bench_c172s_elevator():
+    from flightjax.demos.c172_demos import elevator_doublet
+
+    def run():
+        final, log = elevator_doublet(t_end=10.0, dt=0.02)
+        return final
+
+    cold, warm, final = timed(run)
+    return {"config": "c172s_trim_plus_10s_elevator_step", "steps": 500,
+            "compile_s": round(cold - warm, 2), "wall_s": round(warm, 3),
+            "sim_time_per_wall": round(10.0 / warm, 1)}
+
+
+def bench_turning_climb():
+    from flightjax.demos.c172_demos import turning_climb
+
+    def run():
+        final, _ = turning_climb(t_end=600.0, dt=0.01)
+        return final
+
+    cold, warm, final = timed(run, reps=1)
+    return {"config": "c172x_600s_turning_climb_autopilot", "steps": 60000,
+            "compile_s": round(cold - warm, 2), "wall_s": round(warm, 2),
+            "sim_time_per_wall": round(600.0 / warm, 1)}
+
+
+def bench_trim_linearize():
+    from flightjax.models.c172 import c172s
+
+    vehicle = c172s.build_vehicle("ned")
+
+    def solve():
+        x, u, s, ts, rnorm = c172s.trim(vehicle)
+        return rnorm
+
+    cold, warm, rnorm = timed(solve)
+    t0 = time.perf_counter()
+    lss = c172s.linearize_ned()
+    lin_s = time.perf_counter() - t0
+    return {"config": "trim_plus_linearize_ned",
+            "trim_compile_s": round(cold - warm, 2),
+            "trim_wall_s": round(warm, 3),
+            "trim_residual": float(rnorm),
+            "linearize_wall_s": round(lin_s, 2),
+            "n_states": int(lss.A.shape[0])}
+
+
+def bench_monte_carlo_fleet(batch=4096, t_end=600.0):
+    from flightjax.models.c172 import flagship_sim
+    from flightjax.parallel import fleet
+
+    sim, state0, ctx = flagship_sim()
+    st = fleet.broadcast_state(state0, batch)
+    st = fleet.monte_carlo_c172(st, jax.random.PRNGKey(0))
+    n_steps = int(round(t_end / sim.dt))
+
+    def run(s):
+        return fleet.fleet_rollout(sim, s, n_steps, ctx)
+
+    cold, warm, final = timed(run, st, reps=2)
+    steps = batch * n_steps
+    return {"config": f"monte_carlo_fleet_{batch}x{int(t_end)}s",
+            "steps": steps, "compile_s": round(cold - warm, 2),
+            "wall_s": round(warm, 2),
+            "vehicle_steps_per_s": int(steps / warm),
+            "fleet_sim_time_per_wall": round(t_end / warm, 1)}
+
+
+def main():
+    dev = jax.devices()[0]
+    rows = []
+    for fn in (bench_robot2d, bench_c172s_elevator, bench_turning_climb,
+               bench_trim_linearize, bench_monte_carlo_fleet):
+        row = fn()
+        rows.append(row)
+        print(json.dumps(row))
+
+    lines = [
+        "# BENCHMARKS — measured on real TPU hardware",
+        "",
+        f"Device: {dev.device_kind} ({dev.platform}); "
+        f"default dtype float32; produced by `tools/bench_report.py`.",
+        "",
+        "Wall-clock = median of 3 warm calls (XLA executable reused); "
+        "compile_s = first-call overhead. `sim_time_per_wall` = simulated "
+        "seconds per wall second (real-time factor).",
+        "",
+        "```json",
+    ]
+    lines += [json.dumps(r) for r in rows]
+    lines += ["```", ""]
+    lines += [
+        "Headline (driver-run `bench.py`): full C172 world steps/sec at "
+        "batch 4096 — see README Performance.",
+    ]
+    with open(os.path.join(ROOT, "BENCHMARKS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote BENCHMARKS.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,7 @@ def main():
         got = jax.block_until_ready(jax.jit(step)(state))
     print(f"compile+1 step [{variant}]: {time.perf_counter() - t0:.1f}s")
 
-    ref = jax.jit(jax.vmap(lambda s: sim.step(s, ctx)))(state)
+    ref = jax.jit(lambda st: sim.fleet_step(st, ctx))(state)
     err = max(jax.tree.leaves(jax.tree.map(
         lambda a, b: float(jnp.max(jnp.abs(
             a.astype(jnp.float32) - b.astype(jnp.float32)))), got, ref)))
@@ -52,10 +52,52 @@ def main():
     if err > 1e-3:
         raise SystemExit(f"FAIL: diverges ({err})")
 
+    # ------------------------------------------------ time vs the plain path
+    def rate(roll, carry, steps_per_call=200, n_calls=5):
+        carry = jax.block_until_ready(roll(carry))  # compile
+        carry = jax.block_until_ready(roll(carry))  # absorb layout shuffle
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            carry = roll(carry)
+        jax.block_until_ready(carry)
+        return batch * steps_per_call * n_calls / (time.perf_counter() - t0)
+
+    if variant == "minor":
+        carry0 = to_minor(state)
+    else:
+        carry0 = state
+
+    @jax.jit
+    def roll_ck(st):
+        def body(c, _):
+            return step(c), None
+        c, _ = jax.lax.scan(body, st, None, length=200)
+        return c
+
+    @jax.jit
+    def roll_plain(st):
+        def body(c, _):
+            return sim.fleet_step(c, ctx), None
+        c, _ = jax.lax.scan(body, st, None, length=200)
+        return c
+
+    r_pallas = rate(roll_ck, carry0)
+    r_plain = rate(roll_plain, state)
+    print(f"pallas[{variant}]: {r_pallas:.3e} steps/s   "
+          f"plain: {r_plain:.3e} steps/s   "
+          f"ratio {r_pallas / r_plain:.2f}x")
+
     marker = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".pallas_ok")
+    if r_pallas <= r_plain:
+        print("pallas path validated but SLOWER than the plain path; "
+              "not writing", marker)
+        if os.path.exists(marker):
+            os.remove(marker)
+        return
     with open(marker, "w") as f:
-        f.write(f"variant={variant} err={err}\n")
+        f.write(f"variant={variant} err={err} rate={r_pallas:.4g} "
+                f"plain={r_plain:.4g}\n")
     print("OK ->", marker)
 
 
