@@ -123,6 +123,12 @@ class Simulation:
                 f"multiple of dt ({self.dt})")
         self._integ = _INTEGRATORS[algorithm]
         self.geoid_every = int(geoid_every)
+        # jitted-executable cache for run(): closures defined inside run()
+        # would be new function objects every call, so each run() would
+        # re-trace and re-compile the whole scan (55 s of "warm" time for a
+        # 10 s flight on the C172). Cache per (save_every, save_y); ctx is a
+        # traced argument so differing ctx values don't stale the cache.
+        self._run_cache = {}
         # publish the effective sampling period on the system (the functional
         # analog of the reference's `mdl.Δt`, `modeling.jl:181-182`), so
         # discrete sub-updates can read their step size
@@ -241,36 +247,56 @@ class Simulation:
         n_steps = int(round((float(t_end) - t0) / self.dt))
         n_blocks, rem = divmod(n_steps, save_every)
 
-        def inner(st, _):
-            return self.step(st, ctx), None
-
-        def body(st, _):
-            st, _ = jax.lax.scan(inner, st, None, length=save_every)
-            y = self.output(st, ctx) if save_y else None
-            return st, (st.t, y)
-
-        def scan_blocks(st, k):
-            return jax.lax.scan(body, st, None, length=k)
-
+        scan_blocks = self._jit_scan_blocks(save_every, save_y)
         if dispatch_blocks is None or n_blocks <= dispatch_blocks:
-            state, (ts, ys) = scan_blocks(state, n_blocks)
+            state, (ts, ys) = scan_blocks(state, ctx, k=n_blocks)
         else:
-            chunk = jax.jit(partial(scan_blocks, k=dispatch_blocks))
             logs = []
             done = 0
             while done + dispatch_blocks <= n_blocks:
-                state, log = chunk(state)
+                state, log = scan_blocks(state, ctx, k=dispatch_blocks)
                 logs.append(log)
                 done += dispatch_blocks
             if done < n_blocks:
-                state, log = scan_blocks(state, n_blocks - done)
+                state, log = scan_blocks(state, ctx, k=n_blocks - done)
                 logs.append(log)
             ts = jnp.concatenate([l[0] for l in logs])
             ys = (jax.tree.map(lambda *xs: jnp.concatenate(xs),
                                *[l[1] for l in logs]) if save_y else None)
-        for _ in range(rem):
-            state = self.step(state, ctx)
+        if rem:
+            step_fn = self._jit_step()
+            for _ in range(rem):
+                state = step_fn(state, ctx)
         return state, TimeSeries(ts, ys)
+
+    def _jit_scan_blocks(self, save_every, save_y):
+        """Jitted `k`-block scan for run(), cached per (save_every, save_y)
+        so repeated run() calls on matching state shapes reuse one XLA
+        executable (only `k` changes force a fresh compile)."""
+        key = ("blocks", save_every, save_y)
+        fn = self._run_cache.get(key)
+        if fn is None:
+            @partial(jax.jit, static_argnames=("k",))
+            def scan_blocks(st, ctx, k):
+                def inner(st, _):
+                    return self.step(st, ctx), None
+
+                def body(st, _):
+                    st, _ = jax.lax.scan(inner, st, None, length=save_every)
+                    y = self.output(st, ctx) if save_y else None
+                    return st, (st.t, y)
+
+                return jax.lax.scan(body, st, None, length=k)
+
+            fn = self._run_cache[key] = scan_blocks
+        return fn
+
+    def _jit_step(self):
+        fn = self._run_cache.get("step")
+        if fn is None:
+            fn = self._run_cache["step"] = jax.jit(
+                lambda st, ctx: self.step(st, ctx))
+        return fn
 
 
 @jax.tree_util.register_pytree_node_class

@@ -30,9 +30,8 @@ from flightjax.models.c172 import c172s, c172x, common as C172
 from flightjax.models.c172 import c172x_ctl as CTL
 
 
-def elevator_doublet(amplitude=0.1, t_pulse=2.0, t_end=10.0, dt=0.02):
-    """Trim, then elevator +A for t_pulse, -A for t_pulse, back to trim
-    (`c172_demos.jl:262-314`)."""
+def elevator_doublet_setup(dt=0.02):
+    """Trimmed C172Sv0 rig for the doublet: (sim, state, trim_state)."""
     world = c172s.flagship_world("wa")
     sim = Simulation(world, dt=dt)
     vehicle = world.aircraft.vehicle
@@ -40,6 +39,15 @@ def elevator_doublet(amplitude=0.1, t_pulse=2.0, t_end=10.0, dt=0.02):
     state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
                      x={"vehicle": x}, u={"vehicle": u},
                      s={"vehicle": s, "terminated": jnp.asarray(False)})
+    return sim, state, ts
+
+
+def elevator_doublet(amplitude=0.1, t_pulse=2.0, t_end=10.0, dt=0.02,
+                     rig=None):
+    """Trim, then elevator +A for t_pulse, -A for t_pulse, back to trim
+    (`c172_demos.jl:262-314`). `rig` = cached `elevator_doublet_setup()`
+    output to skip the trim solve."""
+    sim, state, ts = elevator_doublet_setup(dt) if rig is None else rig
 
     def with_elevator(st, delta):
         act = dict(st.u["vehicle"]["systems"]["act"])
@@ -65,11 +73,11 @@ def elevator_doublet(amplitude=0.1, t_pulse=2.0, t_end=10.0, dt=0.02):
     return state, ts_all
 
 
-def turning_climb(t_end=600.0, dt=0.01, EAS_ref=40.0, clm_ref=2.0,
-                  chi_ref=np.pi / 2, wind_n=(2.0, 3.0, 0.0),
-                  save_every=100, gains=None):
-    """600 s autopilot climb: EAS + climb-rate hold, course capture, wind
-    (`c172_demos.jl:214-259`)."""
+def turning_climb_setup(dt=0.01, EAS_ref=40.0, clm_ref=2.0,
+                        chi_ref=np.pi / 2, wind_n=(2.0, 3.0, 0.0),
+                        gains=None):
+    """Trimmed C172Xv1 rig with EAS_clm + chi_beta engaged and wind set:
+    (sim, state)."""
     from flightjax.physics.aircraftbase import SimpleWorld
 
     aircraft = c172x.build_xv1("wa", gains=gains)
@@ -93,8 +101,17 @@ def turning_climb(t_end=600.0, dt=0.01, EAS_ref=40.0, clm_ref=2.0,
     veh_u = dict(u["vehicle"])
     veh_u["atm"] = dict(veh_u["atm"], wind=jnp.asarray(wind_n, dtype=float))
     u["vehicle"] = veh_u
-    state = state._replace(u=u)
+    return sim, state._replace(u=u)
 
+
+def turning_climb(t_end=600.0, dt=0.01, EAS_ref=40.0, clm_ref=2.0,
+                  chi_ref=np.pi / 2, wind_n=(2.0, 3.0, 0.0),
+                  save_every=100, gains=None, rig=None):
+    """600 s autopilot climb: EAS + climb-rate hold, course capture, wind
+    (`c172_demos.jl:214-259`). `rig` = cached `turning_climb_setup()`
+    output to skip the trim solve."""
+    sim, state = (turning_climb_setup(dt, EAS_ref, clm_ref, chi_ref,
+                                      wind_n, gains) if rig is None else rig)
     final, log = sim.run(state, t_end=t_end, t0=0.0, save_every=save_every,
                          dispatch_blocks=10)
     return final, log

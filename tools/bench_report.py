@@ -10,9 +10,15 @@ Configs (BASELINE.json "configs"):
   5. Monte Carlo fleet: 4096 vmapped C172s, randomized wind/mass/CG/fuel,
      full 600 s rollout on one chip
 
-Run: python tools/bench_report.py            (~5 min incl. compiles)
+Run: python tools/bench_report.py            (~15 min incl. compiles)
 Compile time is reported separately from the steady-state wall-clock
-(second call on identical shapes; XLA executable reuse).
+(second call on identical shapes; XLA executable reuse), and the trim
+solve separately from the rollout.
+
+Device routing: batch-1 configs run on the host CPU backend
+(`jax.default_device`), where a single vehicle is ~3x faster than the
+TPU — a lone aircraft's ~100-float state can't feed the MXU; the TPU
+earns its keep on the fleet config (batch 4096), which runs on the chip.
 """
 import json
 import os
@@ -49,46 +55,66 @@ def timed(fn, *args, reps=3, **kw):
     return cold, warm[len(warm) // 2], out
 
 
+def _cpu():
+    return jax.devices("cpu")[0]
+
+
 def bench_robot2d():
     from flightjax.core.sim import Simulation
     from flightjax.models.robot2d import Robot
 
-    sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02)
-    state0 = sim.init()
+    with jax.default_device(_cpu()):
+        sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02)
+        state0 = sim.init()
 
-    def run(st):
-        final, _ = sim.run(st, t_end=100.0, t0=0.0, save_every=100)
-        return final
+        def run(st):
+            final, _ = sim.run(st, t_end=100.0, t0=0.0, save_every=100)
+            return final
 
-    cold, warm, final = timed(run, state0)
+        cold, warm, final = timed(run, state0)
     assert bool(jnp.isfinite(final.x["vehicle"]["theta"]).all())
-    return {"config": "robot2d_100s", "steps": 10000,
+    return {"config": "robot2d_100s", "device": "cpu-host", "steps": 10000,
             "compile_s": round(cold - warm, 2), "wall_s": round(warm, 4),
             "sim_time_per_wall": round(100.0 / warm, 1)}
 
 
 def bench_c172s_elevator():
-    from flightjax.demos.c172_demos import elevator_doublet
+    from flightjax.demos.c172_demos import (elevator_doublet,
+                                            elevator_doublet_setup)
 
-    def run():
-        final, log = elevator_doublet(t_end=10.0, dt=0.02)
-        return final
+    with jax.default_device(_cpu()):
+        t0 = time.perf_counter()
+        rig = elevator_doublet_setup(dt=0.02)
+        trim_s = time.perf_counter() - t0
 
-    cold, warm, final = timed(run)
-    return {"config": "c172s_trim_plus_10s_elevator_step", "steps": 500,
+        def run():
+            final, log = elevator_doublet(t_end=10.0, dt=0.02, rig=rig)
+            return final
+
+        cold, warm, final = timed(run)
+    return {"config": "c172s_trim_plus_10s_elevator_step",
+            "device": "cpu-host", "steps": 500,
+            "trim_s": round(trim_s, 2),
             "compile_s": round(cold - warm, 2), "wall_s": round(warm, 3),
             "sim_time_per_wall": round(10.0 / warm, 1)}
 
 
 def bench_turning_climb():
-    from flightjax.demos.c172_demos import turning_climb
+    from flightjax.demos.c172_demos import turning_climb, turning_climb_setup
 
-    def run():
-        final, _ = turning_climb(t_end=600.0, dt=0.01)
-        return final
+    with jax.default_device(_cpu()):
+        t0 = time.perf_counter()
+        rig = turning_climb_setup(dt=0.01)
+        trim_s = time.perf_counter() - t0
 
-    cold, warm, final = timed(run, reps=1)
-    return {"config": "c172x_600s_turning_climb_autopilot", "steps": 60000,
+        def run():
+            final, _ = turning_climb(t_end=600.0, dt=0.01, rig=rig)
+            return final
+
+        cold, warm, final = timed(run, reps=1)
+    return {"config": "c172x_600s_turning_climb_autopilot",
+            "device": "cpu-host", "steps": 60000,
+            "trim_s": round(trim_s, 2),
             "compile_s": round(cold - warm, 2), "wall_s": round(warm, 2),
             "sim_time_per_wall": round(600.0 / warm, 1)}
 
@@ -96,17 +122,18 @@ def bench_turning_climb():
 def bench_trim_linearize():
     from flightjax.models.c172 import c172s
 
-    vehicle = c172s.build_vehicle("ned")
+    with jax.default_device(_cpu()):
+        vehicle = c172s.build_vehicle("ned")
 
-    def solve():
-        x, u, s, ts, rnorm = c172s.trim(vehicle)
-        return rnorm
+        def solve():
+            x, u, s, ts, rnorm = c172s.trim(vehicle)
+            return rnorm
 
-    cold, warm, rnorm = timed(solve)
-    t0 = time.perf_counter()
-    lss = c172s.linearize_ned()
-    lin_s = time.perf_counter() - t0
-    return {"config": "trim_plus_linearize_ned",
+        cold, warm, rnorm = timed(solve)
+        t0 = time.perf_counter()
+        lss, _, _ = c172s.linearize_ned()
+        lin_s = time.perf_counter() - t0
+    return {"config": "trim_plus_linearize_ned", "device": "cpu-host",
             "trim_compile_s": round(cold - warm, 2),
             "trim_wall_s": round(warm, 3),
             "trim_residual": float(rnorm),
@@ -129,6 +156,7 @@ def bench_monte_carlo_fleet(batch=4096, t_end=600.0):
     cold, warm, final = timed(run, st, reps=2)
     steps = batch * n_steps
     return {"config": f"monte_carlo_fleet_{batch}x{int(t_end)}s",
+            "device": jax.devices()[0].device_kind,
             "steps": steps, "compile_s": round(cold - warm, 2),
             "wall_s": round(warm, 2),
             "vehicle_steps_per_s": int(steps / warm),
@@ -145,14 +173,20 @@ def main():
         print(json.dumps(row))
 
     lines = [
-        "# BENCHMARKS — measured on real TPU hardware",
+        "# BENCHMARKS — every BASELINE.json config, measured",
         "",
-        f"Device: {dev.device_kind} ({dev.platform}); "
-        f"default dtype float32; produced by `tools/bench_report.py`.",
+        f"Accelerator: {dev.device_kind} ({dev.platform}); default dtype "
+        f"float32; produced by `tools/bench_report.py`.",
         "",
-        "Wall-clock = median of 3 warm calls (XLA executable reused); "
-        "compile_s = first-call overhead. `sim_time_per_wall` = simulated "
-        "seconds per wall second (real-time factor).",
+        "Per-config `device`: batch-1 configs run on the host CPU backend "
+        "(a single vehicle's ~100-float state can't feed the MXU and is "
+        "~3x faster on host); the fleet config runs on the TPU chip, "
+        "which is the workload the framework is designed around.",
+        "",
+        "Wall-clock = median warm call (XLA executable reused); compile_s "
+        "= first-call overhead; trim_s = trim solve (reported separately "
+        "from the rollout). `sim_time_per_wall` = simulated seconds per "
+        "wall second (real-time factor).",
         "",
         "```json",
     ]
