@@ -93,3 +93,33 @@ def test_c172xv1_mode_switch_no_retrace():
             state = step(state)
 
     assert _cache_size(step) == 1
+
+
+def test_run_reuses_executable_across_calls():
+    """`Simulation.run` must not re-trace on repeated calls: the block-scan
+    closures are cached per (save_every, save_y) on the Simulation, with
+    ctx as a traced argument. A second run over the same shapes — and runs
+    from the returned (matching-shape) state — must hit the same compiled
+    executable."""
+    from flightjax.models.robot2d import Robot
+
+    sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02)
+    state0 = sim.init()
+
+    st1, log1 = sim.run(state0, t_end=1.0, t0=0.0, save_every=10)
+    st2, log2 = sim.run(state0, t_end=1.0, t0=0.0, save_every=10)
+    # continue from the final state: same shapes, same k -> same executable
+    st3, _ = sim.run(st1, t_end=2.0, t0=1.0, save_every=10)
+
+    scan_blocks = sim._run_cache[("blocks", 10, True)]
+    assert _cache_size(scan_blocks) == 1
+
+    # identical inputs must give bit-identical trajectories
+    assert jnp.array_equal(log1.t, log2.t)
+    for a, b in zip(jax.tree.leaves(log1.y), jax.tree.leaves(log2.y)):
+        assert jnp.array_equal(a, b)
+
+    # a different k (block count) recompiles; a repeat of it does not
+    sim.run(state0, t_end=0.5, t0=0.0, save_every=10)
+    sim.run(state0, t_end=0.5, t0=0.0, save_every=10)
+    assert _cache_size(scan_blocks) == 2
