@@ -34,16 +34,24 @@ def fleet_step_fn(sim, ctx=()):
 
 
 def fleet_rollout(sim, state, n_steps, ctx=(), unroll=1):
-    """Scan a fleet forward n_steps (no logging — the throughput path)."""
+    """Scan a fleet forward n_steps (no logging — the throughput path).
+    The jitted roll is cached on the Simulation (same contract as
+    `Simulation.run`): repeated rollouts reuse one XLA executable instead
+    of re-tracing a fresh closure per call."""
+    key = ("fleet_roll", n_steps, unroll)
+    roll = sim._run_cache.get(key)
+    if roll is None:
 
-    @jax.jit
-    def roll(st):
-        def body(s, _):
-            return sim.fleet_step(s, ctx), None
-        st, _ = jax.lax.scan(body, st, None, length=n_steps, unroll=unroll)
-        return st
+        @jax.jit
+        def roll(st, ctx):
+            def body(s, _):
+                return sim.fleet_step(s, ctx), None
+            st, _ = jax.lax.scan(body, st, None, length=n_steps,
+                                 unroll=unroll)
+            return st
 
-    return roll(state)
+        sim._run_cache[key] = roll
+    return roll(state, ctx)
 
 
 def fleet_metrics(state, veh_y_fn=None):
