@@ -42,7 +42,10 @@ def main():
     state = jax.tree.map(
         lambda leaf: jnp.broadcast_to(leaf, (BATCH,) + jnp.shape(leaf)), state0)
 
-    steps_per_call = 200
+    # long scans amortize the per-dispatch host round-trip (the chip may sit
+    # behind a network tunnel); scan trip count doesn't grow the HLO, so
+    # compile cost is unchanged vs short dispatches
+    steps_per_call = 1000
 
     # Preferred path: the step as a handful of Pallas cluster kernels (the
     # plain path lowers to O(100) small fusions and is launch-latency-bound
