@@ -198,6 +198,152 @@ def air_plots(ts):
     return out
 
 
+def engine_plots(ts):
+    """PistonEngine plot set (`FlightPhysicsPlotsExt.jl:700-780`): MAP,
+    shaft speed, torque/power, SFC/fuel flow, discrete state. `ts.y` is a
+    TimeSeries over a `PistonEngineY` subtree."""
+    t = np.asarray(ts.t)
+    eng = ts.y
+    out = {}
+
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t,
+           np.stack([np.asarray(eng.throttle), np.asarray(eng.MAP) / 1e3,
+                     np.asarray(eng.mixture_pos)], axis=-1),
+           ["throttle", "MAP (kPa)", "mixture"])
+    ax[0, 0].set_title("Engine command / manifold")
+    out["manifold"] = fig
+
+    fig, ax = _fig(3)
+    rpm = np.asarray(eng.omega) * 60.0 / (2.0 * np.pi)
+    _stack(ax[:, 0], t,
+           np.stack([rpm, np.asarray(eng.tau_shaft),
+                     np.asarray(eng.P_shaft) / 1e3], axis=-1),
+           ["RPM", "tau_shaft (N m)", "P_shaft (kW)"])
+    ax[0, 0].set_title("Shaft speed / torque / power")
+    out["shaft"] = fig
+
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t,
+           np.stack([np.asarray(eng.SFC) * 1e6, np.asarray(eng.mdot) * 1e3,
+                     np.asarray(eng.f)], axis=-1),
+           ["SFC (mg/J)", "mdot (g/s)", "fuel/air ratio"])
+    ax[0, 0].set_title("Fuel consumption")
+    out["fuel"] = fig
+
+    fig, ax = _fig(1)
+    ax[0, 0].step(t, np.asarray(eng.state), where="post")
+    ax[0, 0].set_yticks([0, 1, 2], ["off", "starting", "running"])
+    ax[0, 0].set_xlabel("t (s)")
+    ax[0, 0].set_title("Engine state machine")
+    ax[0, 0].grid(True, alpha=0.3)
+    out["state"] = fig
+    return out
+
+
+def prop_plots(ts):
+    """Propeller plot set (`FlightPhysicsPlotsExt.jl:640-698`): advance
+    ratio / tip Mach / blade pitch, thrust & torque, power & efficiency.
+    `ts.y` is a TimeSeries over a `PropellerY` subtree."""
+    t = np.asarray(ts.t)
+    prp = ts.y
+    out = {}
+
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t,
+           np.stack([np.asarray(prp.J), np.asarray(prp.Mt),
+                     np.degrees(np.asarray(prp.dbeta))], axis=-1),
+           ["J", "tip Mach", "dbeta (deg)"])
+    ax[0, 0].set_title("Operating point")
+    out["operating"] = fig
+
+    F = np.asarray(prp.wr_p.F)
+    M = np.asarray(prp.wr_p.tau)
+    fig, ax = _fig(2)
+    _stack(ax[:, 0], t, np.stack([F[:, 0], M[:, 0]], axis=-1),
+           ["thrust F_x (N)", "torque M_x (N m)"])
+    ax[0, 0].set_title("Thrust / torque (propeller axes)")
+    out["wrench"] = fig
+
+    fig, ax = _fig(2)
+    _stack(ax[:, 0], t,
+           np.stack([np.asarray(prp.P) / 1e3, np.asarray(prp.eta_p)],
+                    axis=-1),
+           ["P (kW)", "eta_p"])
+    ax[0, 0].set_title("Power / propulsive efficiency")
+    out["power"] = fig
+    return out
+
+
+def ldg_plots(ts):
+    """Landing-gear-unit plot set (`FlightPhysicsPlotsExt.jl:782-898`):
+    strut elongation/rate/damper force/WoW and contact friction state.
+    `ts.y` is a TimeSeries over a `GearUnitY` subtree."""
+    t = np.asarray(ts.t)
+    gear = ts.y
+    out = {}
+
+    fig, ax = _fig(4)
+    _stack(ax[:, 0], t,
+           np.stack([np.asarray(gear.strut.xi), np.asarray(gear.strut.xi_dot),
+                     np.asarray(gear.strut.F_dmp_zs) / 1e3,
+                     np.asarray(gear.strut.wow)], axis=-1),
+           ["xi (m)", "xi_dot (m/s)", "F_dmp (kN)", "WoW"])
+    ax[0, 0].set_title("Strut")
+    out["strut"] = fig
+
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t,
+           np.stack([np.asarray(gear.contact.mu_max)[..., 0],
+                     np.asarray(gear.contact.mu_eff)[..., 0],
+                     np.asarray(gear.contact.kappa_br)], axis=-1),
+           ["mu_max (x)", "mu_eff (x)", "kappa_br"])
+    ax[0, 0].set_title("Contact friction")
+    out["friction"] = fig
+
+    Fc = np.asarray(gear.contact.F_c)
+    fig, ax = _fig(3)
+    _stack(ax[:, 0], t, Fc / 1e3,
+           ["F_cx (kN)", "F_cy (kN)", "F_cz (kN)"])
+    ax[0, 0].set_title("Contact-frame force")
+    out["F_c"] = fig
+    return out
+
+
+def pid_plots(ts, dt=None):
+    """PID/PI internals plot set (`FlightPhysicsPlotsExt.jl:461-540`):
+    proportional/integral(/derivative) paths, free vs clamped output,
+    saturation + integrator-halt flags. Accepts a TimeSeries over a
+    `PIOutput` or `PIDOutput` subtree."""
+    t = np.asarray(ts.t)
+    c = ts.y
+    out = {}
+
+    def flat(v):  # vector controllers (PIVector{N}) -> all N channels
+        return np.asarray(v).reshape(len(t), -1)
+
+    def rows(names_vals, title):
+        fig, ax = _fig(len(names_vals))
+        for a, (lbl, v) in zip(ax[:, 0], names_vals):
+            a.plot(t, flat(v))
+            a.set_ylabel(lbl)
+            a.grid(True, alpha=0.3)
+        ax[-1, 0].set_xlabel("t (s)")
+        ax[0, 0].set_title(title)
+        return fig
+
+    paths = [("y_p", c.y_p), ("y_i", c.y_i)]
+    if hasattr(c, "y_d"):
+        paths.append(("y_d", c.y_d))
+    out["paths"] = rows(paths, "Controller paths")
+    out["output"] = rows([("out_free", c.out_free), ("output", c.output)],
+                         "Free vs clamped output")
+    out["saturation"] = rows(
+        [("sat_out", c.sat_out), ("int_halted", c.int_halted)],
+        "Saturation / integrator halt")
+    return out
+
+
 def dyn_plots(ts):
     """DynamicsData plot set (`FlightPhysicsPlotsExt.jl:296-362`)."""
     t = np.asarray(ts.t)

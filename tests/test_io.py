@@ -222,7 +222,7 @@ def test_specialized_plot_sets(tmp_path):
     from flightjax.core.sim import Simulation, SimState
     from flightjax.models.c172 import c172s
     from flightjax.utils.plots import kin_plots, air_plots, dyn_plots, \
-        save_plots
+        engine_plots, prop_plots, ldg_plots, pid_plots, save_plots
 
     world = c172s.flagship_world("wa")
     sim = Simulation(world, dt=0.02)
@@ -238,8 +238,17 @@ def test_specialized_plot_sets(tmp_path):
         "kin": kin_plots(TimeSeries(log.t, veh.kinematics)),
         "air": air_plots(TimeSeries(log.t, veh.airflow)),
         "dyn": dyn_plots(TimeSeries(log.t, veh.dynamics)),
+        "engine": engine_plots(TimeSeries(log.t, veh.systems.pwp.engine)),
+        "prop": prop_plots(TimeSeries(log.t, veh.systems.pwp.propeller)),
+        # gear legs are stacked on axis 0 (left, right, nose) — slice nose
+        "ldg": ldg_plots(TimeSeries(log.t, jax.tree.map(
+            lambda a: a[:, 2], veh.systems.ldg))),
+        "frc": pid_plots(TimeSeries(log.t, jax.tree.map(
+            lambda a: a[:, 2], veh.systems.ldg.contact.frc))),
     }
     assert "Ob_t3d" in plots["kin"] and "speeds" in plots["air"]
+    assert "shaft" in plots["engine"] and "power" in plots["prop"]
+    assert "strut" in plots["ldg"] and "saturation" in plots["frc"]
     save_plots(plots, str(tmp_path / "plots"))
     pngs = list((tmp_path / "plots").rglob("*.png"))
-    assert len(pngs) >= 12
+    assert len(pngs) >= 24
