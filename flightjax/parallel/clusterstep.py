@@ -24,6 +24,12 @@ from flightjax.core.sim import SimState
 from flightjax.parallel.pallas_block import pallas_block
 from flightjax.parallel.megakernel import find_vehicle
 
+# optional list set by tools/probe_pallas_kernels.py: every built cluster
+# kernel is appended as (name, wrapped_fn, example_args_batch_leading) so
+# each Mosaic kernel can be compiled in isolation against the remote
+# compile helper (which caps per-request memory)
+KERNEL_SINK = None
+
 
 def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
                       split="vehicle", layout="major"):
@@ -199,10 +205,14 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret, minor=False):
 
     def build(lane, args, name):
         if minor:
-            return pallas_block_minor(lane, args, batch=batch, block=block,
-                                      interpret=interpret, name=name)
-        return pallas_block(jax.vmap(lane), args, batch=batch, block=block,
-                            interpret=interpret, name=name)
+            k = pallas_block_minor(lane, args, batch=batch, block=block,
+                                   interpret=interpret, name=name)
+        else:
+            k = pallas_block(jax.vmap(lane), args, batch=batch, block=block,
+                             interpret=interpret, name=name)
+        if KERNEL_SINK is not None:
+            KERNEL_SINK.append((name, k, args))
+        return k
 
     def fma(xt, kt, adt):
         return jax.tree.map(lambda a, b: a + bscale(adt, b), xt, kt)
