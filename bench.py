@@ -70,9 +70,11 @@ def main():
             raise ImportError("pallas path not validated on this hardware")
         from flightjax.parallel.clusterstep import make_cluster_step
         from flightjax.parallel.pallas_block import to_major, to_minor
-        minor = variant == "minor" or variant == "1"
-        cstep = make_cluster_step(sim, state, ctx, split="subsystems",
-                                  layout="minor" if minor else "major")
+        minor = variant in ("minor", "1", "fine")
+        cstep = make_cluster_step(
+            sim, state, ctx,
+            split="fine" if variant == "fine" else "subsystems",
+            layout="minor" if minor else "major")
 
         carry0 = to_minor(state) if minor else state
         got = jax.block_until_ready(jax.jit(cstep)(carry0))

@@ -415,6 +415,50 @@ class Systems(Component):
                      fuel=fuel_y, mp_b=mp_b, wr_b=wr_b, hr_b=hr_b)
         return x_dot, y
 
+    def f_ode_parts(self):
+        """Decompose `f_ode` into three data-flow stages for per-part
+        Pallas cluster kernels (`parallel/clusterstep.py`, split="fine"):
+        the whole systems update as ONE Mosaic kernel exceeds the
+        compiler's memory cap. Same subsystem calls and the same wrench /
+        mass-property summation order as `f_ode` (no y assembly; kernels
+        only carry states and the dynamics inputs)."""
+
+        def actaero(x_act, x_aero, u_act, s_aero, t, kin, air, trn_fn):
+            act_y, asg, x_act_dot = self.act.f_ode(x_act, u_act, t)
+            aero_u = {"e": asg["e"], "a": asg["a"], "r": asg["r"],
+                      "f": asg["f"]}
+            trn = trn_fn(kin.n_e)
+            aero_dot, aero_y = self.aero.f_ode(x_aero, aero_u, s_aero, t,
+                                               kin, air, trn)
+            thr_mix = {"throttle": asg["throttle"],
+                       "mixture": asg["mixture"]}
+            return (x_act_dot, aero_dot, self._gear_inputs(asg), thr_mix,
+                    aero_y.wr_b)
+
+        def ldg(x_ldg, gear_u, t, kin, trn_fn):
+            trn = trn_fn(kin.n_e)
+            ldg_dot, ldg_y = self.ldg.f_ode(x_ldg, gear_u, t, kin, trn)
+            wr_ldg = Wrench(F=jnp.sum(ldg_y.contact.wr_b.F, axis=0),
+                            tau=jnp.sum(ldg_y.contact.wr_b.tau, axis=0))
+            return ldg_dot, wr_ldg
+
+        def pwp(x_pwp, x_fuel, u_pwp, s_pwp, thr_mix, u_pld, t, kin, air,
+                wr_aero, wr_ldg):
+            pwp_u = dict(u_pwp)
+            pwp_u["engine"] = dict(pwp_u["engine"],
+                                   throttle=thr_mix["throttle"],
+                                   mixture=thr_mix["mixture"])
+            pwp_dot, pwp_y = self.pwp.f_ode(x_pwp, pwp_u, s_pwp, t, air,
+                                            kin)
+            fuel_y = fuel_output(x_fuel)
+            fuel_dot = -pwp_y.engine.mdot / (M_FULL - M_RES)
+            mp_b = airframe_mp_b() + payload_mp_b(u_pld) + fuel_mp_b(fuel_y)
+            wr_b = wr_aero + pwp_y.propeller.wr_b + wr_ldg
+            hr_b = pwp_y.propeller.hr_b
+            return pwp_dot, fuel_dot, mp_b, wr_b, hr_b
+
+        return actaero, ldg, pwp
+
     def f_step(self, x, u, s, t, kin: KinData, air: atm.AirData, trn_fn):
         """Stall hysteresis + gear regulator resets + engine FSM
         (`c172.jl:715-724`). Each gear strut geometry is computed once and

@@ -51,9 +51,10 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
     drops from 72 MiB scoped VMEM to a few MiB) and far less padded-tile
     VPU waste. Convert once before the scan and back after with
     `to_minor`/`to_major`."""
-    if split == "subsystems":
+    if split in ("subsystems", "fine"):
         return _make_cluster_step_split(sim, state, ctx, block, interpret,
-                                        minor=(layout == "minor"))
+                                        minor=(layout == "minor"),
+                                        fine=(split == "fine"))
     assert layout == "major", "layout='minor' requires split='subsystems'"
     sys = sim.system
     dt = sim.dt
@@ -168,12 +169,19 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
     return step
 
 
-def _make_cluster_step_split(sim, state, ctx, block, interpret, minor=False):
+def _make_cluster_step_split(sim, state, ctx, block, interpret, minor=False,
+                             fine=False):
     """split="subsystems" implementation: 3 kernels per RK4 stage
     (kinematics+atmosphere/airdata | systems | dynamics) and 2 finish
     kernels, each well under the remote Mosaic compiler's program-size cap.
     Orchestration mirrors `Vehicle.f_ode` / `Vehicle.f_step`
     (`physics/aircraftbase.py`, itself `aircraftbase.jl:142-181`).
+
+    `fine=True` further splits the systems kernel into three —
+    act+aero | landing gear | powerplant+mass aggregation — via the
+    model's `Systems.f_ode_parts()` protocol: the whole-systems kernel
+    alone SIGKILLs the remote Mosaic compile helper (memory cap), measured
+    on the C172 at batch 4096.
 
     With `minor=True` every kernel is built with `pallas_block_minor` (the
     same per-lane functions, vmapped over the LAST axis) and the step's
@@ -254,11 +262,90 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret, minor=False):
         return (alive_scale(sys_dot, term), sys_y.mp_b, sys_y.wr_b,
                 sys_y.hr_b)
 
-    k2 = build(
-        k2_lane,
-        (xv0["systems"], zk["systems"], uv0["systems"], sv0["systems"],
-         uv0["trn"], kin_ex, air_ex, t0, adt0, term0),
-        "k_systems")
+    if not fine:
+        k2 = build(
+            k2_lane,
+            (xv0["systems"], zk["systems"], uv0["systems"], sv0["systems"],
+             uv0["trn"], kin_ex, air_ex, t0, adt0, term0),
+            "k_systems")
+    else:
+        # ---- K2a/b/c: act+aero | gear | powerplant+mass (f_ode_parts)
+        actaero_p, ldg_p, pwp_p = sys_c.f_ode_parts()
+        act_keys = tuple(sys_c.act.init_x_extra().keys())
+        xs0, zs0 = xv0["systems"], zk["systems"]
+        us0, ss0 = uv0["systems"], sv0["systems"]
+        x_act0 = {k: xs0[k] for k in act_keys}
+        zk_act0 = {k: zs0[k] for k in act_keys}
+        fdt = t0.dtype
+
+        def k2a_lane(x_act, x_aero, k_act, k_aero, u_act, s_aero, u_trn,
+                     kin, air, t, adt, term):
+            xi_act = fma(x_act, k_act, adt)
+            xi_aero = fma(x_aero, k_aero, adt)
+            trn_fn = lambda n_e=None: trn_c.terrain_data(u_trn, n_e)
+            act_dot, aero_dot, gear_u, thr_mix, wr_aero = actaero_p(
+                xi_act, xi_aero, u_act, s_aero, t, kin, air, trn_fn)
+            return (alive_scale(act_dot, term),
+                    alive_scale(aero_dot, term), gear_u, thr_mix, wr_aero)
+
+        k2a = build(
+            k2a_lane,
+            (x_act0, xs0["aero"], zk_act0, zs0["aero"], us0["act"],
+             ss0["aero"], uv0["trn"], kin_ex, air_ex, t0, adt0, term0),
+            "k_actaero")
+
+        gear_u_ex = {"steering": jnp.zeros((batch, 3), fdt),
+                     "braking": jnp.zeros((batch, 3), fdt)}
+        thr_ex = {"throttle": jnp.zeros((batch,), fdt),
+                  "mixture": jnp.zeros((batch,), fdt)}
+        from flightjax.physics.dynamics import Wrench
+        wr3_ex = Wrench(F=jnp.zeros((batch, 3), fdt),
+                        tau=jnp.zeros((batch, 3), fdt))
+
+        def k2b_lane(x_ldg, k_ldg, gear_u, u_trn, kin, t, adt, term):
+            xi_ldg = fma(x_ldg, k_ldg, adt)
+            trn_fn = lambda n_e=None: trn_c.terrain_data(u_trn, n_e)
+            ldg_dot, wr_ldg = ldg_p(xi_ldg, gear_u, t, kin, trn_fn)
+            return alive_scale(ldg_dot, term), wr_ldg
+
+        k2b = build(
+            k2b_lane,
+            (xs0["ldg"], zs0["ldg"], gear_u_ex, uv0["trn"], kin_ex, t0,
+             adt0, term0),
+            "k_ldg")
+
+        def k2c_lane(x_pwp, x_fuel, k_pwp, k_fuel, u_pwp, s_pwp, thr_mix,
+                     u_pld, kin, air, wr_aero, wr_ldg, t, adt, term):
+            xi_pwp = fma(x_pwp, k_pwp, adt)
+            xi_fuel = fma(x_fuel, k_fuel, adt)
+            pwp_dot, fuel_dot, mp_b, wr_b, hr_b = pwp_p(
+                xi_pwp, xi_fuel, u_pwp, s_pwp, thr_mix, u_pld, t, kin,
+                air, wr_aero, wr_ldg)
+            return (alive_scale(pwp_dot, term),
+                    alive_scale(fuel_dot, term), mp_b, wr_b, hr_b)
+
+        k2c = build(
+            k2c_lane,
+            (xs0["pwp"], xs0["fuel"], zs0["pwp"], zs0["fuel"], us0["pwp"],
+             ss0["pwp"], thr_ex, us0["pld"], kin_ex, air_ex, wr3_ex,
+             wr3_ex, t0, adt0, term0),
+            "k_pwp")
+
+        def k2(x_sys, k_sys, u_sys, s_sys, u_trn, kin, air, t, adt, term):
+            act_dot, aero_dot, gear_u, thr_mix, wr_aero = k2a(
+                {k: x_sys[k] for k in act_keys},
+                x_sys["aero"], {k: k_sys[k] for k in act_keys},
+                k_sys["aero"], u_sys["act"], s_sys["aero"], u_trn, kin,
+                air, t, adt, term)
+            ldg_dot, wr_ldg = k2b(x_sys["ldg"], k_sys["ldg"], gear_u,
+                                  u_trn, kin, t, adt, term)
+            pwp_dot, fuel_dot, mp_b, wr_b, hr_b = k2c(
+                x_sys["pwp"], x_sys["fuel"], k_sys["pwp"], k_sys["fuel"],
+                u_sys["pwp"], s_sys["pwp"], thr_mix, u_sys["pld"], kin,
+                air, wr_aero, wr_ldg, t, adt, term)
+            sys_dot = dict({"aero": aero_dot, "ldg": ldg_dot,
+                            "pwp": pwp_dot, "fuel": fuel_dot}, **act_dot)
+            return sys_dot, mp_b, wr_b, hr_b
 
     mp_ex, wr_ex, hr_ex = (jax.eval_shape(
         k2_lane, *(jax.tree.map(lambda l: l[0], a) for a in (

@@ -10,18 +10,19 @@ from flightjax.parallel.clusterstep import make_cluster_step
 from flightjax.parallel.pallas_block import to_major, to_minor
 
 
-@pytest.mark.parametrize("mode", ["vehicle", "subsystems", "minor"])
+@pytest.mark.parametrize("mode", ["vehicle", "subsystems", "minor", "fine"])
 def test_cluster_step_matches_plain(mode):
     B = 8
     sim, state0, ctx = flagship_sim()
     state = jax.tree.map(
         lambda l: jnp.broadcast_to(l, (B,) + jnp.shape(l)), state0)
     kw = ({"split": "subsystems", "layout": "minor"} if mode == "minor"
+          else {"split": "fine", "layout": "minor"} if mode == "fine"
           else {"split": mode})
     step = make_cluster_step(sim, state, ctx, block=4, interpret=True, **kw)
 
     got, ref = state, state
-    if mode == "minor":
+    if mode in ("minor", "fine"):
         got = to_minor(got)
     for _ in range(2):
         got = step(got)
@@ -29,7 +30,7 @@ def test_cluster_step_matches_plain(mode):
         # with geoid_in_step=False and refresh the carried undulation at
         # fleet level under the same scalar `geoid_every` gate
         ref = sim.fleet_step(ref, ctx)
-    if mode == "minor":
+    if mode in ("minor", "fine"):
         got = to_major(got)
 
     for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):

@@ -6,7 +6,8 @@ probe builds the kernels via `clusterstep.KERNEL_SINK`, then jits each one
 alone — one Mosaic kernel per module — printing compile time / failure,
 so the offending kernel (the one to split further) is identified.
 
-Run: python tools/probe_pallas_kernels.py [minor|major] [names...]
+Run: python tools/probe_pallas_kernels.py [minor|major|fine] [names...]
+("fine" = split="fine" minor layout; otherwise split="subsystems")
 """
 import os
 import sys
@@ -31,13 +32,17 @@ def main():
         lambda l: jnp.broadcast_to(l, (batch,) + jnp.shape(l)), state0)
 
     cs.KERNEL_SINK = sink = []
-    cs.make_cluster_step(sim, state, ctx, split="subsystems", layout=layout)
+    cs.make_cluster_step(
+        sim, state, ctx,
+        split="fine" if layout == "fine" else "subsystems",
+        layout="major" if layout == "major" else "minor")
     print(f"built {len(sink)} kernels: {[n for n, _, _ in sink]}", flush=True)
 
     for name, fn, args in sink:
         if only and name not in only:
             continue
-        call_args = [to_minor(a) for a in args] if layout == "minor" else args
+        call_args = (args if layout == "major"
+                     else [to_minor(a) for a in args])
         t0 = time.perf_counter()
         try:
             out = jax.jit(lambda *a: fn(*a))(*call_args)

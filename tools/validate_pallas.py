@@ -27,16 +27,18 @@ def main():
     from flightjax.parallel.clusterstep import make_cluster_step
     from flightjax.parallel.pallas_block import to_major, to_minor
 
-    variant = sys.argv[1] if len(sys.argv) > 1 else "minor"
+    variant = sys.argv[1] if len(sys.argv) > 1 else "fine"
     batch = 4096
     sim, state0, ctx = flagship_sim()
     state = jax.tree.map(
         lambda l: jnp.broadcast_to(l, (batch,) + jnp.shape(l)), state0)
 
     t0 = time.perf_counter()
-    if variant == "minor":
-        step = make_cluster_step(sim, state, ctx, split="subsystems",
-                                 layout="minor")
+    if variant in ("minor", "fine"):
+        step = make_cluster_step(
+            sim, state, ctx,
+            split="fine" if variant == "fine" else "subsystems",
+            layout="minor")
         got = to_major(jax.block_until_ready(
             jax.jit(step)(to_minor(state))))
     else:
@@ -62,7 +64,7 @@ def main():
         jax.block_until_ready(carry)
         return batch * steps_per_call * n_calls / (time.perf_counter() - t0)
 
-    if variant == "minor":
+    if variant in ("minor", "fine"):
         carry0 = to_minor(state)
     else:
         carry0 = state
