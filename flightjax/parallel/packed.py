@@ -52,9 +52,15 @@ def _group_key(dt):
     return dt.name  # float32 / float64
 
 
-def make_packer(state):
+def make_packer(state, mosaic_safe=True):
     """Build (spec, pack, unpack) for a batched pytree whose every leaf has
-    leading batch dimension B."""
+    leading batch dimension B.
+
+    `mosaic_safe=True` (default) flattens higher-rank tails with one-hot
+    projections so pack/unpack can live inside a Pallas kernel body (Mosaic
+    rejects minor-dim reshapes). For plain-XLA scan boundaries pass
+    `mosaic_safe=False`: tails flatten with ordinary reshapes, which XLA
+    fuses into the surrounding consumers for free."""
     def _kname(k):
         for a in ("key", "name", "idx"):
             if hasattr(k, a):
@@ -98,6 +104,8 @@ def make_packer(state):
         out with constant one-hot masks and re-placed by broadcast-FMA."""
         if leaf.ndim <= 2:
             return leaf if leaf.ndim == 2 else leaf[:, None]
+        if not mosaic_safe:
+            return leaf.reshape(leaf.shape[0], -1)
         tail = leaf.shape[1:]
         size = int(np.prod(tail, dtype=np.int64))
         out = None
@@ -125,6 +133,8 @@ def make_packer(state):
             return flat[:, 0]
         if len(tail) == 1:
             return flat
+        if not mosaic_safe:
+            return flat.reshape(flat.shape[0], *tail)
         size = int(np.prod(tail, dtype=np.int64))
         out = None
         for k in range(size):

@@ -48,3 +48,40 @@ def test_packed_step_equivalence():
     b = jax.jit(roll_plain)(state)
     for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         assert bool(jnp.all(la == lb)), "packed scan must be bit-identical"
+
+
+def test_roundtrip_exact_fast_xla():
+    # mosaic_safe=False flattens higher-rank tails with plain reshapes
+    # (the scan-boundary variant used by plain-XLA fleet rolls)
+    _, state = _batched_state()
+    # add a rank-3 leaf to exercise the reshape path
+    state = dict(state=state,
+                 extra=jnp.arange(BATCH * 6.0).reshape(BATCH, 2, 3))
+    spec, pack, unpack = make_packer(state, mosaic_safe=False)
+    rt = unpack(pack(state))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(rt)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        assert bool(jnp.all(a == b))
+
+
+def test_packed_step_equivalence_fast_xla():
+    sim, state = _batched_state()
+    spec, pack, unpack = make_packer(state, mosaic_safe=False)
+
+    def roll_packed(bufs):
+        def body(bufs, _):
+            st = jax.vmap(lambda s: sim.step(s, ()))(unpack(bufs))
+            return pack(st), None
+        c, _ = jax.lax.scan(body, bufs, None, length=10)
+        return unpack(c)
+
+    def roll_plain(st):
+        c, _ = jax.lax.scan(
+            lambda c, _: (jax.vmap(lambda s: sim.step(s, ()))(c), None),
+            st, None, length=10)
+        return c
+
+    a = jax.jit(roll_packed)(pack(state))
+    b = jax.jit(roll_plain)(state)
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert bool(jnp.all(la == lb)), "packed scan must be bit-identical"
