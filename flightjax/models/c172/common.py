@@ -459,6 +459,20 @@ class Systems(Component):
 
         return actaero, ldg, pwp
 
+    def f_ode_gear_legs(self):
+        """Per-leg decomposition of the gear stage for the fine cluster
+        split: the whole 3-leg gear kernel alone SIGKILLs the remote
+        Mosaic compile helper (measured at batch 4096); one leg fits.
+        Each returned fn: (x_frc (2,), steering, braking, t, kin, trn_fn)
+        -> (frc_dot (2,), contact wrench)."""
+        def make(i):
+            def leg(x_frc, steering, braking, t, kin, trn_fn):
+                trn = trn_fn(kin.n_e)
+                return self.ldg.f_ode_leg(i, x_frc, steering, braking,
+                                          t, kin, trn)
+            return leg
+        return [make(i) for i in range(self.ldg.n)]
+
     def f_step(self, x, u, s, t, kin: KinData, air: atm.AirData, trn_fn):
         """Stall hysteresis + gear regulator resets + engine FSM
         (`c172.jl:715-724`). Each gear strut geometry is computed once and

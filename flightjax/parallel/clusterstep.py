@@ -302,17 +302,42 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret, minor=False,
         wr3_ex = Wrench(F=jnp.zeros((batch, 3), fdt),
                         tau=jnp.zeros((batch, 3), fdt))
 
-        def k2b_lane(x_ldg, k_ldg, gear_u, u_trn, kin, t, adt, term):
-            xi_ldg = fma(x_ldg, k_ldg, adt)
-            trn_fn = lambda n_e=None: trn_c.terrain_data(u_trn, n_e)
-            ldg_dot, wr_ldg = ldg_p(xi_ldg, gear_u, t, kin, trn_fn)
-            return alive_scale(ldg_dot, term), wr_ldg
+        # one kernel per gear leg: the 3-leg kernel alone SIGKILLs the
+        # remote Mosaic compile helper (measured at batch 4096; see
+        # Systems.f_ode_gear_legs). The leg wrenches sum in XLA glue.
+        leg_fns = sys_c.f_ode_gear_legs()
 
-        k2b = build(
-            k2b_lane,
-            (xs0["ldg"], zs0["ldg"], gear_u_ex, uv0["trn"], kin_ex, t0,
-             adt0, term0),
-            "k_ldg")
+        def make_leg_lane(leg_fn):
+            def kleg_lane(x_frc, k_frc, steer, brake, u_trn, kin, t, adt,
+                          term):
+                xi = fma(x_frc, k_frc, adt)
+                trn_fn = lambda n_e=None: trn_c.terrain_data(u_trn, n_e)
+                frc_dot, wr = leg_fn(xi, steer, brake, t, kin, trn_fn)
+                return alive_scale(frc_dot, term), wr
+            return kleg_lane
+
+        klegs = [build(
+            make_leg_lane(fn),
+            (xs0["ldg"]["frc"][:, i], zs0["ldg"]["frc"][:, i],
+             gear_u_ex["steering"][:, i], gear_u_ex["braking"][:, i],
+             uv0["trn"], kin_ex, t0, adt0, term0),
+            f"k_ldg{i}") for i, fn in enumerate(leg_fns)]
+
+        def k2b(x_ldg, k_ldg, gear_u, u_trn, kin, t, adt, term):
+            dots, wr = [], None
+            for i, kleg in enumerate(klegs):
+                if minor:  # leg axis leads; batch is minor
+                    xf, kf = x_ldg["frc"][i], k_ldg["frc"][i]
+                    st, br = gear_u["steering"][i], gear_u["braking"][i]
+                else:
+                    xf, kf = x_ldg["frc"][:, i], k_ldg["frc"][:, i]
+                    st, br = (gear_u["steering"][:, i],
+                              gear_u["braking"][:, i])
+                d, w = kleg(xf, kf, st, br, u_trn, kin, t, adt, term)
+                dots.append(d)
+                wr = w if wr is None else jax.tree.map(jnp.add, wr, w)
+            frc_dot = jnp.stack(dots, axis=0 if minor else 1)
+            return {"frc": frc_dot}, wr
 
         def k2c_lane(x_pwp, x_fuel, k_pwp, k_fuel, u_pwp, s_pwp, thr_mix,
                      u_pld, kin, air, wr_aero, wr_ldg, t, adt, term):

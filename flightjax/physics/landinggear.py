@@ -423,5 +423,34 @@ class GearSet:
                             axis=1),
             kin, trn)
 
+    def leg_unit(self, i):
+        """Concrete `LandingGearUnit` for leg `i` with static (numpy)
+        parameters — the per-leg path used by the fine Pallas cluster
+        split, where the 3-leg kernel exceeds the Mosaic compiler's
+        memory cap. Same hard F_max as `_vmapped` so both paths are
+        bit-identical."""
+        import copy
+        d = self.unit.damper
+        u2 = copy.copy(self.unit)
+        u2.r_bs = np.asarray(self.unit.r_bs)[i]
+        u2.q_bs = np.asarray(self.unit.q_bs)[i]
+        u2.damper = SimpleDamper(float(np.asarray(d.k_s)[i]),
+                                 float(np.asarray(d.k_d_ext)[i]),
+                                 float(np.asarray(d.k_d_cmp)[i]), 50000.0)
+        u2.steering = {"psi_max":
+                       float(np.asarray(self.unit.steering["psi_max"])[i])}
+        u2.braking = {"eta_br":
+                      float(np.asarray(self.unit.braking["eta_br"])[i])}
+        return u2
+
+    def f_ode_leg(self, i, x_frc, steering, braking, t,
+                  kin: KinData, trn: TerrainData):
+        """One leg's continuous update: (frc_dot (2,), contact wrench)."""
+        unit = self.leg_unit(i)
+        xd, y = unit.f_ode({"frc": x_frc},
+                           {"steering": steering, "braking": braking},
+                           None, t, kin, trn)
+        return xd["frc"], y.contact.wr_b
+
     def init_x(self):
         return {"frc": jnp.zeros((self.n, 2))}
