@@ -473,6 +473,56 @@ class Systems(Component):
             return leg
         return [make(i) for i in range(self.ldg.n)]
 
+    def f_step_parts(self):
+        """Decompose `f_step` for the fine cluster split: the whole
+        finish-systems kernel (3x strut geometry + engine FSM) alone
+        SIGKILLs the remote Mosaic compile helper (measured at batch
+        4096). Returns (pre, legs, rest): `pre(x_act, u_act, t)` ->
+        gear_u; `legs[i](steering, braking, kin, trn_fn)` -> (wow mask,
+        alpha_ts, xi_dot) for leg i; `rest(x, u_pwp, s, t, kin, air, wow,
+        alpha_ts, xi_dot)` -> (x2, s2). Same formulas and masking as
+        `f_step` (wow rides as a 0/1 float between kernels — Mosaic
+        kernels avoid bool outputs)."""
+
+        def pre(x_act, u_act, t):
+            _, asg, _ = self.act.f_ode(x_act, u_act, t)
+            return self._gear_inputs(asg)
+
+        def make_leg(i):
+            def leg(steering, braking, kin, trn_fn):
+                trn = trn_fn(kin.n_e)
+                sy = self.ldg.strut_y_leg(i, steering, braking, kin, trn)
+                return (jnp.where(sy.wow, 1.0, 0.0), sy.alpha_ts,
+                        sy.xi_dot)
+            return leg
+
+        def rest(x, u_pwp, s, t, kin, air, wow, alpha_ts, xi_dot):
+            small = air.TAS <= 0.1
+            v_safe = bwhere(small, jnp.asarray([1.0, 0.0, 0.0]),
+                            air.v_wb_b)
+            alpha = jnp.where(small, 0.0,
+                              atm.get_airflow_angles(v_safe)[0])
+            stall = self.aero.f_step_stall(alpha, s["aero"]["stall"])
+
+            from flightjax.physics.landinggear import (ALPHA_TS_MAX,
+                                                       XI_DOT_MAX)
+            wow_b = wow > 0.5
+            x_ldg = {"frc": bwhere(wow_b, x["ldg"]["frc"], 0.0)}
+            crashed = jnp.logical_or(s["crashed"], jnp.any(
+                jnp.logical_or(
+                    jnp.logical_and(wow_b, alpha_ts > ALPHA_TS_MAX),
+                    -xi_dot > XI_DOT_MAX)))
+
+            fuel_avail = fuel_output(x["fuel"]).m_avail > 0
+            x_pwp, s_pwp = self.pwp.f_step(x["pwp"], u_pwp, s["pwp"], t,
+                                           fuel_avail)
+            x2 = dict(x, ldg=x_ldg, pwp=x_pwp)
+            s2 = {"aero": {"stall": stall}, "pwp": s_pwp,
+                  "crashed": crashed}
+            return x2, s2
+
+        return pre, [make_leg(i) for i in range(self.ldg.n)], rest
+
     def f_step(self, x, u, s, t, kin: KinData, air: atm.AirData, trn_fn):
         """Stall hysteresis + gear regulator resets + engine FSM
         (`c172.jl:715-724`). Each gear strut geometry is computed once and

@@ -431,19 +431,79 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret, minor=False,
         "k_finish_kin")
 
     # ---- K5: RK4 combine (systems) + systems f_step
-    def k5_lane(x_sys, ksum_sys, u_sys, s_sys, u_trn, kin, air, t_new):
-        x_sys2 = jax.tree.map(
-            lambda a, b: a + (dt / 6.0) * b, x_sys, ksum_sys)
-        trn_fn = lambda n_e=None: trn_c.terrain_data(u_trn, n_e)
-        x_sys3, s_sys2 = sys_c.f_step(x_sys2, u_sys, s_sys, t_new, kin,
-                                      air, trn_fn)
-        return x_sys3, s_sys2
+    if not fine:
+        def k5_lane(x_sys, ksum_sys, u_sys, s_sys, u_trn, kin, air,
+                    t_new):
+            x_sys2 = jax.tree.map(
+                lambda a, b: a + (dt / 6.0) * b, x_sys, ksum_sys)
+            trn_fn = lambda n_e=None: trn_c.terrain_data(u_trn, n_e)
+            x_sys3, s_sys2 = sys_c.f_step(x_sys2, u_sys, s_sys, t_new,
+                                          kin, air, trn_fn)
+            return x_sys3, s_sys2
 
-    k5 = build(
-        k5_lane,
-        (xv0["systems"], zk["systems"], uv0["systems"], sv0["systems"],
-         uv0["trn"], kin_ex, air_ex, t0),
-        "k_finish_sys")
+        k5 = build(
+            k5_lane,
+            (xv0["systems"], zk["systems"], uv0["systems"],
+             sv0["systems"], uv0["trn"], kin_ex, air_ex, t0),
+            "k_finish_sys")
+    else:
+        # the whole finish-systems kernel (3x strut geometry + engine
+        # FSM) alone SIGKILLs the remote Mosaic compile helper — split
+        # per Systems.f_step_parts: act pass | one strut kernel per leg
+        # | stall+gear-reset+engine-FSM rest.
+        pre_p, fleg_fns, rest_p = sys_c.f_step_parts()
+
+        def kf_pre_lane(x_act, ksum_act, u_act, t_new):
+            x_act2 = jax.tree.map(
+                lambda a, b: a + (dt / 6.0) * b, x_act, ksum_act)
+            return pre_p(x_act2, u_act, t_new)
+
+        kf_pre = build(kf_pre_lane,
+                       (x_act0, zk_act0, us0["act"], t0), "k_fin_act")
+
+        def make_fleg_lane(leg_fn):
+            def kfleg_lane(steer, brake, u_trn, kin):
+                trn_fn = lambda n_e=None: trn_c.terrain_data(u_trn, n_e)
+                return leg_fn(steer, brake, kin, trn_fn)
+            return kfleg_lane
+
+        steer_ex = jnp.zeros((batch,), fdt)
+        kflegs = [build(
+            make_fleg_lane(fn), (steer_ex, steer_ex, uv0["trn"], kin_ex),
+            f"k_fin_ldg{i}") for i, fn in enumerate(fleg_fns)]
+
+        w3_ex = jnp.zeros((batch, 3), fdt)
+
+        def kf_rest_lane(x_sys, ksum_sys, u_sys, s_sys, kin, air, t_new,
+                         wow, alpha_ts, xi_dot):
+            x_sys2 = jax.tree.map(
+                lambda a, b: a + (dt / 6.0) * b, x_sys, ksum_sys)
+            return rest_p(x_sys2, u_sys["pwp"], s_sys, t_new, kin, air,
+                          wow, alpha_ts, xi_dot)
+
+        kf_rest = build(
+            kf_rest_lane,
+            (xv0["systems"], zk["systems"], uv0["systems"],
+             sv0["systems"], kin_ex, air_ex, t0, w3_ex, w3_ex, w3_ex),
+            "k_fin_rest")
+
+        def k5(x_sys, ksum_sys, u_sys, s_sys, u_trn, kin, air, t_new):
+            gear_u = kf_pre(
+                {k: x_sys[k] for k in act_keys},
+                {k: ksum_sys[k] for k in act_keys}, u_sys["act"], t_new)
+            outs = []
+            for i, kfleg in enumerate(kflegs):
+                if minor:
+                    st, br = gear_u["steering"][i], gear_u["braking"][i]
+                else:
+                    st, br = (gear_u["steering"][:, i],
+                              gear_u["braking"][:, i])
+                outs.append(kfleg(st, br, u_trn, kin))
+            ax = 0 if minor else 1
+            wow, ats, xid = (jnp.stack([o[j] for o in outs], axis=ax)
+                             for j in range(3))
+            return kf_rest(x_sys, ksum_sys, u_sys, s_sys, kin, air,
+                           t_new, wow, ats, xid)
 
     aircraft = getattr(sys_, "aircraft", None)
     trivial_periodic = (aircraft is not None

@@ -452,5 +452,13 @@ class GearSet:
                            None, t, kin, trn)
         return xd["frc"], y.contact.wr_b
 
+    def strut_y_leg(self, i, steering, braking,
+                    kin: KinData, trn: TerrainData) -> StrutY:
+        """One leg's strut geometry (WoW test, angles, elongation rate) —
+        the per-leg path used by the fine finish-kernel split."""
+        unit = self.leg_unit(i)
+        return unit.strut_y({"steering": steering, "braking": braking},
+                            kin, trn)
+
     def init_x(self):
         return {"frc": jnp.zeros((self.n, 2))}
