@@ -145,3 +145,32 @@ def test_jit_and_grad_clean():
     assert np.isfinite(float(g))
     g_air = jax.grad(total_fz)(h_gnd + 10.0)
     assert float(g_air) == 0.0  # airborne: no ground force sensitivity
+
+
+def test_gearset_per_leg_matches_vmapped():
+    """GearSet.f_ode_leg / strut_y_leg (the fine Pallas split path) must be
+    bit-identical to the vmapped 3-leg evaluation."""
+    from flightjax.models.c172.common import make_ldg
+
+    ldg = make_ldg()
+    kin = kin_at_height(-0.3, v_eb_n=(2.0, 0.3, 0.0), psi=0.1)
+    trn = TRN.terrain_data(TRN.init_u())
+    x = {"frc": jnp.asarray([[0.1, -0.2], [0.0, 0.05], [-0.1, 0.0]])}
+    u = {"steering": jnp.asarray([0.0, 0.0, 0.3]),
+         "braking": jnp.asarray([0.6, 0.4, 0.0])}
+
+    xd_ref, y_ref = ldg.f_ode(x, u, 0.0, kin, trn)
+    sy_ref = ldg.strut_y(x, u, 0.0, kin, trn)
+
+    for i in range(ldg.n):
+        frc_dot, wr = ldg.f_ode_leg(i, x["frc"][i], u["steering"][i],
+                                    u["braking"][i], 0.0, kin, trn)
+        assert bool(jnp.all(frc_dot == xd_ref["frc"][i]))
+        assert bool(jnp.all(wr.F == y_ref.contact.wr_b.F[i]))
+        assert bool(jnp.all(wr.tau == y_ref.contact.wr_b.tau[i]))
+
+        sy = ldg.strut_y_leg(i, u["steering"][i], u["braking"][i], kin,
+                             trn)
+        assert bool(sy.wow == sy_ref.wow[i])
+        assert bool(jnp.all(sy.alpha_ts == sy_ref.alpha_ts[i]))
+        assert bool(jnp.all(sy.xi_dot == sy_ref.xi_dot[i]))
