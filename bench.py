@@ -70,10 +70,11 @@ def main():
             raise ImportError("pallas path not validated on this hardware")
         from flightjax.parallel.clusterstep import make_cluster_step
         from flightjax.parallel.pallas_block import to_major, to_minor
-        minor = variant in ("minor", "1", "fine")
+        minor = variant in ("minor", "1", "fine", "hybrid")
         cstep = make_cluster_step(
             sim, state, ctx,
-            split="fine" if variant == "fine" else "subsystems",
+            split=(variant if variant in ("fine", "hybrid")
+                   else "subsystems"),
             layout="minor" if minor else "major")
 
         carry0 = to_minor(state) if minor else state
@@ -94,7 +95,7 @@ def main():
             return c
 
         carry, roll = carry0, roll_ck
-        name += f"+pallas-{'minor' if minor else 'subsystems'}"
+        name += f"+pallas-{variant}"
     except Exception as exc:  # pragma: no cover - fallback path
         print(f"# pallas cluster step unavailable ({type(exc).__name__}: "
               f"{exc}); plain scan", flush=True)

@@ -51,10 +51,17 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
     drops from 72 MiB scoped VMEM to a few MiB) and far less padded-tile
     VPU waste. Convert once before the scan and back after with
     `to_minor`/`to_major`."""
-    if split in ("subsystems", "fine"):
+    if split in ("subsystems", "fine", "hybrid"):
+        # "hybrid" = the fine decomposition, but the kernels whose summed
+        # compile cost OOMs the remote Mosaic helper (per-leg gear +
+        # finish-systems parts) stay plain vmapped XLA inside the same
+        # module; only the five cheap-to-compile clusters go to Pallas.
         return _make_cluster_step_split(sim, state, ctx, block, interpret,
                                         minor=(layout == "minor"),
-                                        fine=(split == "fine"))
+                                        fine=(split in ("fine", "hybrid")),
+                                        plain_names=(HYBRID_PLAIN
+                                                     if split == "hybrid"
+                                                     else frozenset()))
     assert layout == "major", "layout='minor' requires split='subsystems'"
     sys = sim.system
     dt = sim.dt
@@ -169,8 +176,15 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
     return step
 
 
+# kernels kept as plain vmapped XLA in split="hybrid": each compiles alone
+# (332-1555 s) but their SUM in one module OOMs the remote Mosaic helper
+HYBRID_PLAIN = frozenset(
+    {"k_ldg0", "k_ldg1", "k_ldg2", "k_fin_act", "k_fin_ldg0", "k_fin_ldg1",
+     "k_fin_ldg2", "k_fin_rest"})
+
+
 def _make_cluster_step_split(sim, state, ctx, block, interpret, minor=False,
-                             fine=False):
+                             fine=False, plain_names=frozenset()):
     """split="subsystems" implementation: 3 kernels per RK4 stage
     (kinematics+atmosphere/airdata | systems | dynamics) and 2 finish
     kernels, each well under the remote Mosaic compiler's program-size cap.
@@ -212,6 +226,12 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret, minor=False,
     zk = jax.tree.map(jnp.zeros_like, xv0)
 
     def build(lane, args, name):
+        if name in plain_names:
+            # hybrid: stay plain XLA (same lane fn, vmapped to the ambient
+            # layout) — XLA fuses it with the surrounding glue
+            if minor:
+                return jax.vmap(lane, in_axes=-1, out_axes=-1)
+            return jax.vmap(lane)
         if minor:
             k = pallas_block_minor(lane, args, batch=batch, block=block,
                                    interpret=interpret, name=name)

@@ -1,7 +1,7 @@
 """Validate the Pallas cluster-kernel step on the current TPU and, on
 success, write `.pallas_ok` at the repo root so bench.py uses it.
 
-Run: python tools/validate_pallas.py [minor|subsystems]   (default: minor)
+Run: python tools/validate_pallas.py [hybrid|fine|minor|subsystems]   (default: hybrid)
 The marker records the validated variant; bench.py reads it back.
 """
 import os
@@ -27,17 +27,18 @@ def main():
     from flightjax.parallel.clusterstep import make_cluster_step
     from flightjax.parallel.pallas_block import to_major, to_minor
 
-    variant = sys.argv[1] if len(sys.argv) > 1 else "fine"
+    variant = sys.argv[1] if len(sys.argv) > 1 else "hybrid"
     batch = 4096
     sim, state0, ctx = flagship_sim()
     state = jax.tree.map(
         lambda l: jnp.broadcast_to(l, (batch,) + jnp.shape(l)), state0)
 
     t0 = time.perf_counter()
-    if variant in ("minor", "fine"):
+    if variant in ("minor", "fine", "hybrid"):
         step = make_cluster_step(
             sim, state, ctx,
-            split="fine" if variant == "fine" else "subsystems",
+            split=(variant if variant in ("fine", "hybrid")
+                   else "subsystems"),
             layout="minor")
         got = to_major(jax.block_until_ready(
             jax.jit(step)(to_minor(state))))
@@ -64,7 +65,7 @@ def main():
         jax.block_until_ready(carry)
         return batch * steps_per_call * n_calls / (time.perf_counter() - t0)
 
-    if variant in ("minor", "fine"):
+    if variant in ("minor", "fine", "hybrid"):
         carry0 = to_minor(state)
     else:
         carry0 = state
