@@ -231,29 +231,38 @@ def get_y_ss(x, u, y):
     ])
 
 
+_NED_VEHICLE = None
+
+
 def linearize_ned(tp: C172.TrimParameters = None, iters=30) -> LinearizedSS:
     """Trim + exact-Jacobian linearization of the NED-kinematics vehicle
     (`aircraftbase.jl:292-334`). Wind is forced to zero (the atmosphere
-    default) so velocity states are aerodynamic."""
-    vehicle = build_vehicle("ned")
+    default) so velocity states are aerodynamic. The vehicle and the jitted
+    Jacobian pass are cached across calls; the trim point rides through as
+    traced `captures`, so envelope sweeps pay one compile."""
+    global _NED_VEHICLE
+    if _NED_VEHICLE is None:
+        _NED_VEHICLE = build_vehicle("ned")
+    vehicle = _NED_VEHICLE
     if tp is None:
         tp = C172.trim_parameters()
     x0, u0, s0, ts, rnorm = trim(vehicle, tp, iters=iters)
 
-    def f(xv, uv):
+    def f(xv, uv, x0, u0, s0):
         x = assign_x_ss(x0, xv)
         u = assign_u_ss(u0, uv)
         x_dot, _ = vehicle.f_ode(x, u, s0, 0.0)
         return get_x_ss(x_dot)
 
-    def h(xv, uv):
+    def h(xv, uv, x0, u0, s0):
         x = assign_x_ss(x0, xv)
         u = assign_u_ss(u0, uv)
         _, y = vehicle.f_ode(x, u, s0, 0.0)
         return get_y_ss(x, u, y)
 
     lss = linearize(f, h, get_x_ss(x0), get_u_ss(u0),
-                    X_SS_LABELS, U_SS_LABELS, Y_SS_LABELS)
+                    X_SS_LABELS, U_SS_LABELS, Y_SS_LABELS,
+                    captures=(x0, u0, s0), cache_key="c172s_ned")
     return lss, ts, rnorm
 
 

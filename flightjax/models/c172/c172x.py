@@ -244,20 +244,21 @@ def linearize_ned(tp: C172.TrimParameters = None, iters=30):
     x0, u0, s0, ts, rnorm = trim(vehicle, tp, iters=iters)
     w_rated = vehicle.systems.pwp.engine.omega_rated
 
-    def f(xv, uv):
+    def f(xv, uv, x0, u0, s0):
         x = assign_x_ss(x0, xv)
         u = assign_u_ss(u0, uv)
         x_dot, _ = vehicle.f_ode(x, u, s0, 0.0)
         return get_x_ss(x_dot)
 
-    def h(xv, uv):
+    def h(xv, uv, x0, u0, s0):
         x = assign_x_ss(x0, xv)
         u = assign_u_ss(u0, uv)
         _, y = vehicle.f_ode(x, u, s0, 0.0)
         return get_y_ss(x, u, y, w_rated)
 
     lss = linearize(f, h, get_x_ss(x0), get_u_ss(u0),
-                    X_SS_LABELS, U_SS_LABELS, Y_SS_LABELS)
+                    X_SS_LABELS, U_SS_LABELS, Y_SS_LABELS,
+                    captures=(x0, u0, s0), cache_key="c172x_ned")
     return lss, ts, rnorm
 
 

@@ -58,22 +58,50 @@ class LinearizedSS:
         return self.subsystem(x=keep_x, u=keep_u, y=keep_y)
 
 
-def linearize(f, h, x0, u0, x_labels=None, u_labels=None, y_labels=None):
-    """Linearize ẋ = f(x, u), y = h(x, u) about (x0, u0) with exact autodiff
-    Jacobians. f/h take and return flat jnp arrays.
+_JAC_CACHE = {}
+
+
+def linearize(f, h, x0, u0, x_labels=None, u_labels=None, y_labels=None,
+              captures=(), cache_key=None):
+    """Linearize ẋ = f(x, u, *captures), y = h(x, u, *captures) about
+    (x0, u0) with exact autodiff Jacobians. f/h take and return flat jnp
+    arrays; `captures` (extra pytree context, e.g. the trim point) is passed
+    through as traced arguments.
+
+    All four Jacobians come from ONE jitted forward-mode pass (n_x + n_u
+    tangents through a single trace — the state-space is wide in outputs and
+    narrow in inputs, so jacfwd beats jacrev, and jitting replaces the eager
+    per-column dispatch storm). With `cache_key` set, the compiled pass is
+    reused across calls — the caller guarantees f/h vary between calls only
+    through (x0, u0, captures), which is what makes 28-point envelope sweeps
+    pay one compile instead of 28.
 
     Runs pinned to the host CPU backend: linearization is offline design-time
-    work made of many tiny eager dispatches, which are pathologically slow
-    over a remote-accelerator tunnel (and need no accelerator)."""
+    work, pathologically slow over a remote-accelerator tunnel (and needs no
+    accelerator)."""
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         x0 = jnp.asarray(x0)
         u0 = jnp.asarray(u0)
-        A = jax.jacobian(f, argnums=0)(x0, u0)
-        B = jax.jacobian(f, argnums=1)(x0, u0)
-        C = jax.jacobian(h, argnums=0)(x0, u0)
-        D = jax.jacobian(h, argnums=1)(x0, u0)
-        x_dot0 = f(x0, u0)
-        y0 = h(x0, u0)
+
+        def build():
+            def fh(x, u, *cap):
+                return f(x, u, *cap), h(x, u, *cap)
+
+            @jax.jit
+            def jac_pass(x, u, *cap):
+                (A, B), (C, D) = jax.jacfwd(fh, argnums=(0, 1))(x, u, *cap)
+                x_dot0, y0 = fh(x, u, *cap)
+                return A, B, C, D, x_dot0, y0
+
+            return jac_pass
+
+        if cache_key is not None:
+            jac_pass = _JAC_CACHE.get(cache_key)
+            if jac_pass is None:
+                jac_pass = _JAC_CACHE[cache_key] = build()
+        else:
+            jac_pass = build()
+        A, B, C, D, x_dot0, y0 = jac_pass(x0, u0, *captures)
     n_x, n_u, n_y = len(x0), len(u0), len(y0)
     return LinearizedSS(
         x0=np.asarray(x0), u0=np.asarray(u0), y0=np.asarray(y0),

@@ -16,3 +16,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite's dominant cost is XLA compiles of
+# the big jitted steps/trim solvers/Jacobian passes; caching them across runs
+# (keyed on HLO hash, so always safe) turns repeat suite runs from ~50 min
+# into minutes on this 1-CPU box.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

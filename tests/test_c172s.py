@@ -1,6 +1,8 @@
 """Cessna 172S end-to-end tests (mirrors `test_c172s.jl`: trim success +
 post-trim sanity, 10 s elevator-step response, NED linearization)."""
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,6 +106,29 @@ def test_linearized_modes(lss):
     assert 1.0 < abs(dr) < 5.0        # dutch roll
     assert 0.05 < abs(ph) < 0.6       # phugoid: slow, lightly damped
     assert all(m.real < 0 for m in (sp, dr, ph))  # all stable
+
+
+def test_linearize_cached_pass_tracks_trim_point(lss):
+    """The jitted Jacobian pass is cached across calls (cache_key); a second
+    linearization at a different trim point must reuse the compiled pass yet
+    produce that point's own matrices — guards the captures contract (the
+    trim point rides as traced args, never baked into the trace)."""
+    from flightjax.physics import linearization as L
+    assert "c172s_ned" in L._JAC_CACHE
+    t0 = time.time()
+    lss2, _, rnorm2 = c172s.linearize_ned(
+        C172.trim_parameters(EAS=40.0, h=2000.0))
+    warm_s = time.time() - t0
+    assert rnorm2 < 1e-8
+    # different point -> different dynamics (short-period stiffness scales
+    # with dynamic pressure, so A must move)
+    assert np.max(np.abs(lss2.A - lss.A)) > 1e-2
+    # the new point's airspeed shows up in its own trim state, not the old
+    eas_i = lss2.y_labels.index("EAS")
+    assert abs(float(lss2.y0[eas_i]) - 40.0) < 0.5
+    assert abs(float(lss.y0[eas_i]) - 50.0) < 0.5
+    # warm call = no recompile: seconds, not minutes
+    assert warm_s < 30.0
 
 
 def test_elevator_pitch_sign(lss):
