@@ -64,10 +64,16 @@ def acos(x):
 @contextlib.contextmanager
 def mosaic_safe():
     """Patch jnp's inverse-trig entry points with the Mosaic-safe versions
-    for the duration of a trace."""
+    for the duration of a trace, and switch dense table interpolation to
+    its reshape-free kron-matmul form (Mosaic rejects minor-dim reshapes;
+    see ops.interp._KRON_STATIC)."""
+    from flightjax.ops import interp
     saved = (jnp.arctan, jnp.arctan2, jnp.arcsin, jnp.arccos)
+    saved_kron = interp._KRON_STATIC
     jnp.arctan, jnp.arctan2, jnp.arcsin, jnp.arccos = atan, atan2, asin, acos
+    interp._KRON_STATIC = True
     try:
         yield
     finally:
         (jnp.arctan, jnp.arctan2, jnp.arcsin, jnp.arccos) = saved
+        interp._KRON_STATIC = saved_kron
