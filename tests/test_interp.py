@@ -91,3 +91,48 @@ def test_dense_matches_gather_randomized():
         q = [jnp.asarray(rng.uniform(-3, 3, 17)) for _ in range(d)]
         np.testing.assert_allclose(np.asarray(lg(*q)), np.asarray(ld(*q)),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_dense_static_kron_vs_reshape_paths():
+    """The Mosaic-safe kron-matmul contraction and the plain-XLA reshape
+    contraction of `_call_dense_static` are the same multilinear map —
+    exercised across dims, degenerate axes, trailing value dims, both
+    extrapolation modes, and multi-dim query batches."""
+    import numpy as np
+    import jax.numpy as jnp
+    import flightjax.ops.interp as interp
+    from flightjax.ops.interp import Lookup
+
+    rng = np.random.default_rng(7)
+    saved = interp._KRON_STATIC
+    try:
+        for trial in range(12):
+            d = int(rng.integers(1, 5))
+            axes = [np.sort(rng.uniform(-3, 3, int(rng.integers(2, 8))))
+                    for _ in range(d)]
+            if rng.random() < 0.3:
+                axes[int(rng.integers(0, d))] = np.array([0.5])
+            tail = (int(rng.integers(2, 7)),) if trial % 2 else ()
+            vals = rng.standard_normal(tuple(len(a) for a in axes) + tail)
+            extrap = tuple(rng.choice(["flat", "line"]) for _ in range(d))
+            lk = Lookup(axes, vals, extrap=extrap, dense=True)
+            shp = (37,) if trial % 3 else (5, 7)
+            q = [jnp.asarray(rng.uniform(-4, 4, shp)) for _ in range(d)]
+            interp._KRON_STATIC = True
+            a = np.asarray(lk(*q))
+            interp._KRON_STATIC = False
+            b = np.asarray(lk(*q))
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+    finally:
+        interp._KRON_STATIC = saved
+
+
+def test_mosaic_safe_toggles_kron_path():
+    import flightjax.ops.interp as interp
+    from flightjax.ops.mathx import mosaic_safe
+
+    assert interp._KRON_STATIC is False
+    with mosaic_safe():
+        assert interp._KRON_STATIC is True
+    assert interp._KRON_STATIC is False
