@@ -87,6 +87,14 @@ def tree_where(pred, true_tree, false_tree):
     logical form — a bool-valued select_n does not lower inside Pallas
     kernels (i8 -> i1 truncation)."""
     def sel(t, f):
+        if t is f:
+            # identity pass-through: where(p, a, a) == a exactly. Beyond
+            # saving the select, this keeps untouched scan-carry leaves
+            # (e.g. `u` when f_periodic doesn't write it) loop-INVARIANT,
+            # so XLA's while-LICM hoists everything derived from them
+            # (payload/airframe mass-property transport, sea-level
+            # atmosphere, actuation scaling) out of the time loop.
+            return t
         if jnp.asarray(t).dtype == jnp.bool_:
             return jnp.logical_or(jnp.logical_and(pred, t),
                                   jnp.logical_and(jnp.logical_not(pred), f))
