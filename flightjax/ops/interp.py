@@ -205,6 +205,9 @@ class Lookup:
             # form re-materializes a full-width (B, R) product per axis.
             batch = xs[0].shape
             nb = int(np.prod(batch, dtype=np.int64)) if batch else 1
+            # (measured negative: a joint outer-product weight + elementwise
+            # reduce for tiny tables was 1.6x SLOWER overall — the matmul
+            # form below feeds the MXU while the VPU runs neighbors)
             w = self._hat_weights_static(xs[0], live[0][1], live[0][2])
             V2 = jnp.asarray(V.reshape(V.shape[0], -1), dt)
             # ONE 2-D (nb, n0) x (n0, R) matmul: the batched

@@ -1,0 +1,108 @@
+"""Profile the batch-4096 fleet step on the real TPU and attribute device
+time to flightjax source lines.
+
+`jax.profiler.trace` works through the axon tunnel (verified 2026-08-18):
+the trace contains one X event per executed HLO instruction with device
+wall time. Joining those against the optimized HLO's `metadata.source_file/
+source_line` gives a per-module, per-line cost breakdown — this is how the
+dense-interp kron contraction was found at 27% of the step (see
+ops/interp.py) and the geoid-refresh cond at ~190 us per firing.
+
+Usage:
+    python tools/profile_fleet.py            # profile + breakdown
+    python tools/profile_fleet.py --batch 8192
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+STEPS = 100
+
+
+def attribute(trace_dir, hlo_text, steps=STEPS, top=25):
+    """Join trace event durations with HLO source metadata. Returns
+    (per_file, per_site, unmatched) Counters in us per step."""
+    f = sorted(glob.glob(trace_dir + "/plugins/profile/*/*.trace.json.gz"))[-1]
+    tr = json.load(gzip.open(f))
+    dur = collections.Counter()
+    cnt = collections.Counter()
+    for e in tr["traceEvents"]:
+        if e.get("ph") == "X" and "dur" in e and e.get("name"):
+            dur[e["name"]] += e["dur"]
+            cnt[e["name"]] += 1
+    src = {}
+    for line in hlo_text.split("\n"):
+        m = re.search(r"%([\w.\-]+) = (\S+?) ([\w-]+)\(", line)
+        if not m:
+            continue
+        name, shape = m.group(1), m.group(2).split("{")[0]
+        mm = re.search(r'source_file="([^"]+)" source_line=(\d+)', line)
+        src[name] = ((mm.group(1).split("repo/")[-1] if mm else "?"),
+                     (mm.group(2) if mm else "?"), shape)
+    byfile = collections.Counter()
+    bysite = collections.Counter()
+    un = collections.Counter()
+    for name, d in dur.items():
+        if cnt[name] < steps // 2:      # only per-step kernels in the scan
+            continue
+        if name in src:
+            fl, ln, shape = src[name]
+            byfile[fl] += d / steps
+            bysite[(fl, ln, shape)] += d / steps
+        else:
+            un[name] += d / steps
+    return byfile, bysite, un
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--trace-dir", default="/tmp/flightjax_trace")
+    args = ap.parse_args()
+
+    from flightjax.models.c172 import flagship_sim
+    sim, state0, ctx = flagship_sim()
+    state = jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (args.batch,) + jnp.shape(l)), state0)
+
+    @jax.jit
+    def roll(st):
+        def body(st, _):
+            return sim.fleet_step(st, ctx), None
+        st, _ = jax.lax.scan(body, st, None, length=STEPS)
+        return st
+
+    compiled = roll.lower(state).compile()
+    st = jax.block_until_ready(compiled(state))
+    with jax.profiler.trace(args.trace_dir):
+        st = jax.block_until_ready(compiled(st))
+
+    byfile, bysite, un = attribute(args.trace_dir, compiled.as_text())
+    total = sum(byfile.values()) + sum(un.values())
+    print(f"# per-step device time: {total:.1f} us  (batch {args.batch})")
+    print("# -- by file (us/step) --")
+    for k, v in byfile.most_common(15):
+        print(f"{v:8.1f}  {k}")
+    print(f"{sum(un.values()):8.1f}  <unattributed small fusions>")
+    print("# -- top sites (us/step) --")
+    for (fl, ln, shape), v in bysite.most_common(20):
+        print(f"{v:8.2f}  {fl}:{ln}  {shape}")
+
+
+if __name__ == "__main__":
+    main()
