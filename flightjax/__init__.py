@@ -22,5 +22,7 @@ from flightjax import utils
 
 # umbrella re-exports (the reference's Reexport pattern, `src/Flight.jl`)
 from flightjax.core.sim import Simulation, SimState, TimeSeries
-from flightjax.core.modeling import Component, Subsampled
+from flightjax.core.modeling import Component, Subsampled, print_tree, tree_repr
 from flightjax.core.mission import MissionAvionics, Phase
+from flightjax.physics.aircraftbase import (Aircraft, NoVehicleSystems,
+                                            SimpleWorld, Vehicle)

@@ -150,3 +150,39 @@ class Subsampled:
 
     def __getattr__(self, name):
         return getattr(self.component, name)
+
+
+def tree_repr(tree, name="model", _prefix="", _last=True, _root=True) -> str:
+    """Render a state/output pytree as an ASCII tree with array shapes and
+    dtypes at the leaves — the functional counterpart of the reference's
+    AbstractTrees Model printing (`modeling.jl:341-354`)."""
+    import numpy as _np
+
+    connector = "" if _root else ("└─ " if _last else "├─ ")
+    if isinstance(tree, dict):
+        children = list(tree.items())
+    elif hasattr(tree, "_fields"):  # NamedTuple
+        children = [(k, getattr(tree, k)) for k in tree._fields]
+    else:
+        children = None
+
+    if children is None:
+        if tree is None:
+            desc = "None"
+        else:
+            arr = _np.asarray(tree)
+            desc = (f"{arr.dtype}" if arr.shape == ()
+                    else f"{arr.dtype}{list(arr.shape)}")
+        return f"{_prefix}{connector}{name}: {desc}\n"
+
+    out = f"{_prefix}{connector}{name}\n"
+    child_prefix = _prefix if _root else _prefix + ("   " if _last else "│  ")
+    for i, (k, v) in enumerate(children):
+        out += tree_repr(v, str(k), child_prefix, i == len(children) - 1,
+                         _root=False)
+    return out
+
+
+def print_tree(tree, name="model"):
+    """Print a pytree hierarchy (see `tree_repr`)."""
+    print(tree_repr(tree, name), end="")

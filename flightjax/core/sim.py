@@ -328,3 +328,20 @@ class TimeSeries:
 
     def __len__(self):
         return len(self.t)
+
+    # reference accessors (`sim.jl:674-680`)
+    def get_time(self):
+        return self.t
+
+    def get_data(self):
+        return self.y
+
+    def get_components(self):
+        """Split a vector-valued series into per-component TimeSeries
+        (`sim.jl:678-680`); on a dict/NamedTuple node, one per child."""
+        y = self.y
+        if isinstance(y, dict):
+            return {k: TimeSeries(self.t, v) for k, v in y.items()}
+        if hasattr(y, "_fields"):  # NamedTuple
+            return {k: TimeSeries(self.t, getattr(y, k)) for k in y._fields}
+        return [TimeSeries(self.t, y[..., i]) for i in range(y.shape[-1])]

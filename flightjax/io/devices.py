@@ -48,3 +48,21 @@ class IOMapping:
     def extract_output(self, state, y):
         """Extract device data from the latest (SimState, output) snapshot."""
         raise InputMappingError(f"no output mapping for {type(self).__name__}")
+
+
+class GenericInputMapping(IOMapping):
+    """Fallback mapping (`iodevices.jl:16`): hands raw device data straight
+    to a model-provided `assign_input(u, data)` hook if the target defines
+    one, otherwise raises `InputMappingError`."""
+
+
+def get_default_mapping(device: IODevice) -> IOMapping:
+    """Default mapping for a device (`iodevices.jl:23-25`). Devices override
+    by defining a `default_mapping()` method; otherwise there is no default
+    and the caller must pass a mapping to `attach`."""
+    factory = getattr(device, "default_mapping", None)
+    if factory is None:
+        raise TypeError(
+            f"{type(device).__name__} has no default mapping; pass one to "
+            "attach(device, mapping)")
+    return factory()

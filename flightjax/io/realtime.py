@@ -60,7 +60,10 @@ class RealTimeLoop:
         self._step = jax.jit(lambda st: sim.step(st, ctx))
         self._output = jax.jit(lambda st: sim.output(st, ctx))
 
-    def attach(self, device, mapping, period=0.02):
+    def attach(self, device, mapping=None, period=0.02):
+        if mapping is None:
+            from flightjax.io.devices import get_default_mapping
+            mapping = get_default_mapping(device)
         self.interfaces.append(Interface(device, mapping, period))
 
     # ------------------------------------------------------------- threads

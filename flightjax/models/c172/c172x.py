@@ -1,8 +1,12 @@
 """Cessna 172X: fly-by-wire variant.
 
 Mirrors `/root/reference/lib/FlightApps/src/c172/c172x/c172x.jl`:
-- `Actuator1` first-order servo (tau = 0.05 s) on all seven channels
-  (`c172x.jl:19-53, 113-121`), with the same clamped-position semantics
+- `Actuator1` first-order servo (`c172x.jl:19-53`) and `Actuator2`
+  second-order underdamped servo with clamped output position
+  (`c172x.jl:56-106`); saturation is flagged on the *command*, not the
+  position (which only tends asymptotically to it)
+- `FlyByWireActuation` defaults to seven `Actuator1(tau=0.05)` channels
+  (`:113-121`), but any channel may be swapped for an `Actuator2`
 - actuation -> systems assignment with the C172S sign conventions
   (`:126-143`)
 - trim assignment seeding actuator positions = commands (`:268-276`)
@@ -34,30 +38,120 @@ ACT_RANGES = {"throttle": (0.0, 1.0), "aileron": (-1.0, 1.0),
 ACT_TAU = 0.05
 
 
+def _saturation(cmd, lo, hi):
+    """`Ranged` saturation flag of the *command* (`types.jl:64`,
+    `c172x.jl:46,66`): +1 at/above the upper bound, -1 at/below the lower,
+    0 inside."""
+    return (jnp.asarray(cmd >= hi, jnp.int32)
+            - jnp.asarray(cmd <= lo, jnp.int32))
+
+
+class Actuator1:
+    """First-order servo (`c172x.jl:19-53`): F(s) = 1/(1 + s tau).
+
+    State = scalar position p; x_dot = (cmd - p)/tau. The reported position
+    is clamped to the command range, and `sat` flags command saturation."""
+
+    order = 1
+
+    def __init__(self, tau=ACT_TAU, range=(-1.0, 1.0)):
+        self.tau = tau
+        self.range = range
+
+    def init_x(self, pos=0.0):
+        return jnp.asarray(pos)
+
+    def trim_x(self, cmd):
+        # position = command makes the servo derivative vanish (`c172x.jl`
+        # trim assignment `:268-276`)
+        return jnp.asarray(cmd)
+
+    def f_ode(self, x, cmd):
+        lo, hi = self.range
+        c = jnp.clip(cmd, lo, hi)
+        pos = jnp.clip(x, lo, hi)
+        y = {"cmd": c, "pos": pos, "sat": _saturation(cmd, lo, hi)}
+        return y, (c - x) / self.tau
+
+
+class Actuator2:
+    """Second-order servo (`c172x.jl:56-106`): underdamped by default
+    (omega_n = 10*pi rad/s, zeta = 0.6), so the position state can
+    transiently overshoot the command range; the *output* position is
+    clamped (a clutched output actuator), while saturation is flagged on
+    the command, which the state only approaches asymptotically."""
+
+    order = 2
+
+    def __init__(self, omega_n=10.0 * np.pi, zeta=0.6, range=(-1.0, 1.0)):
+        self.omega_n = omega_n
+        self.zeta = zeta
+        self.range = range
+
+    def init_x(self, pos=0.0, vel=0.0):
+        return {"p": jnp.asarray(pos), "v": jnp.asarray(vel)}
+
+    def trim_x(self, cmd):
+        return {"p": jnp.asarray(cmd), "v": jnp.asarray(0.0)}
+
+    def f_ode(self, x, cmd):
+        lo, hi = self.range
+        c = jnp.clip(cmd, lo, hi)
+        pos = jnp.clip(x["p"], lo, hi)
+        y = {"cmd": c, "pos": pos, "vel": x["v"],
+             "sat": _saturation(cmd, lo, hi)}
+        x_dot = {"p": x["v"],
+                 "v": self.omega_n ** 2 * (c - x["p"])
+                      - 2.0 * self.zeta * self.omega_n * x["v"]}
+        return y, x_dot
+
+
 class FlyByWireActuation:
-    """Seven first-order servos; continuous state = positions.
+    """Seven servo channels; continuous state = servo states.
+
+    Defaults to `Actuator1(tau=0.05)` on every channel like the reference
+    (`c172x.jl:113-121`); pass `actuators={"elevator": Actuator2(), ...}`
+    to override individual channels.
 
     Protocol (see `flightjax.models.c172.common.Systems`): f_ode(x, u, t) ->
-    (act_y, assignments, extra x_dot). x["act"][ch] is the servo position;
-    u[ch] the command."""
+    (act_y, assignments, extra x_dot). x["act"][ch] is the servo state
+    (scalar position for 1st-order, {"p","v"} for 2nd-order); u[ch] the
+    command. act_y keeps the transposed {"cmd","pos","sat"[,"vel"]}[ch]
+    layout consumed by the control laws and state-space extraction."""
+
+    def __init__(self, actuators=None):
+        self.actuators = {
+            ch: Actuator1(ACT_TAU, ACT_RANGES[ch]) for ch in ACT_CHANNELS}
+        if actuators:
+            for ch, act in actuators.items():
+                if ch not in ACT_RANGES:
+                    raise KeyError(f"unknown actuation channel {ch!r}")
+                act.range = ACT_RANGES[ch]
+                self.actuators[ch] = act
 
     def init_u(self):
         return {ch: jnp.asarray(0.0) for ch in ACT_CHANNELS} | {
             "mixture": jnp.asarray(0.5)}
 
     def init_x_extra(self, positions=None):
-        return {"act": {ch: (jnp.asarray(0.0) if positions is None
-                             else positions[ch]) for ch in ACT_CHANNELS}}
+        return {"act": {
+            ch: self.actuators[ch].init_x(
+                0.0 if positions is None else positions[ch])
+            for ch in ACT_CHANNELS}}
+
+    def trim_x(self, cmds):
+        """Per-channel servo states at which derivatives vanish for the
+        given commands (`c172x.jl` trim assignment `:268-276`)."""
+        return {ch: self.actuators[ch].trim_x(cmds[ch]) for ch in ACT_CHANNELS}
 
     def f_ode(self, x, u, t):
-        pos, cmd, x_dot = {}, {}, {}
+        pos, cmd, sat, vel, x_dot = {}, {}, {}, {}, {}
         for ch in ACT_CHANNELS:
-            lo, hi = ACT_RANGES[ch]
-            c = jnp.clip(u[ch], lo, hi)
-            p = jnp.clip(x["act"][ch], lo, hi)  # clamped position (`:28-33`)
-            cmd[ch] = c
-            pos[ch] = p
-            x_dot[ch] = (c - x["act"][ch]) / ACT_TAU
+            y, dx = self.actuators[ch].f_ode(x["act"][ch], u[ch])
+            cmd[ch], pos[ch], sat[ch] = y["cmd"], y["pos"], y["sat"]
+            if "vel" in y:
+                vel[ch] = y["vel"]
+            x_dot[ch] = dx
 
         asg = {
             "e": -pos["elevator"], "a": pos["aileron"], "r": -pos["rudder"],
@@ -67,13 +161,16 @@ class FlyByWireActuation:
             "throttle": pos["throttle"],
             "mixture": jnp.clip(u["mixture"], 0.0, 1.0),
         }
-        act_y = {"cmd": cmd, "pos": pos}
+        act_y = {"cmd": cmd, "pos": pos, "sat": sat}
+        if vel:
+            act_y["vel"] = vel
         return act_y, asg, {"act": x_dot}
 
 
-def build_vehicle(kinematics="wa", atmosphere=None, terrain=None) -> Vehicle:
+def build_vehicle(kinematics="wa", atmosphere=None, terrain=None,
+                  actuators=None) -> Vehicle:
     kin = {"wa": K.WA, "ecef": K.ECEF, "ned": K.NED}[kinematics]()
-    systems = C172.Systems(power_plant(), FlyByWireActuation())
+    systems = C172.Systems(power_plant(), FlyByWireActuation(actuators))
     return Vehicle(systems, kin, atmosphere=atmosphere, terrain=terrain)
 
 
@@ -101,7 +198,7 @@ def trim_assign(vehicle: Vehicle, tp: C172.TrimParameters, ts: C172.TrimState):
             "elevator": ts.elevator, "rudder": ts.rudder,
             "flaps": tp.flaps, "brake_left": jnp.asarray(0.0),
             "brake_right": jnp.asarray(0.0)}
-    x["systems"]["act"] = dict(cmds)
+    x["systems"]["act"] = vehicle.systems.act.trim_x(cmds)
 
     u = vehicle.init_u()
     u["systems"]["act"].update(cmds)

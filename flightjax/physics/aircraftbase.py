@@ -55,13 +55,50 @@ class VehicleY(NamedTuple):
     airflow: AirData
 
 
+class NoSystemsY(NamedTuple):
+    mp_b: "object"
+    wr_b: "object"
+    hr_b: "object"
+
+
+class NoVehicleSystems:
+    """Placeholder vehicle systems (`aircraftbase.jl:27-43`): a bare rigid
+    body with a configurable mass distribution, zero external wrench and
+    zero internal angular momentum. Lets a `Vehicle` run standalone as a
+    free 6-DOF body for kinematics/dynamics work."""
+
+    def __init__(self, mass=1.0, J=None):
+        from flightjax.physics.dynamics import ft_identity, mass_props_rigid
+        J = jnp.eye(3) if J is None else jnp.asarray(J)
+        self._mp_b = mass_props_rigid(jnp.asarray(mass), J, ft_identity())
+
+    def init_x(self):
+        return {}
+
+    def init_u(self):
+        return {}
+
+    def init_s(self, **kw):
+        return {}
+
+    def f_ode(self, x, u, s, t, kin, air, trn_fn):
+        from flightjax.physics.dynamics import wrench_zero
+        y = NoSystemsY(mp_b=self._mp_b, wr_b=wrench_zero(),
+                       hr_b=jnp.zeros(3))
+        return {}, y
+
+    def f_step(self, x, u, s, t, kin, air, trn_fn):
+        return x, s
+
+
 class Vehicle(Component):
     """Systems + kinematics + dynamics composite (`aircraftbase.jl:49-195`)."""
 
     def __init__(self, systems, kinematics,
                  atmosphere: SimpleAtmosphere = None,
                  terrain: HorizontalTerrain = None):
-        self.systems = systems
+        # systems=None mirrors the reference default (`aircraftbase.jl:51`)
+        self.systems = systems if systems is not None else NoVehicleSystems()
         self.kinematics = kinematics
         self.dynamics = VehicleDynamics()
         self.atmosphere = atmosphere if atmosphere is not None else SimpleAtmosphere()

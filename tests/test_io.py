@@ -109,6 +109,25 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    """Orbax production path (async-capable, sharded-fleet ready): same
+    bit-exact resume contract as the npz fallback."""
+    pytest.importorskip("orbax.checkpoint")
+    from flightjax.core.sim import Simulation
+    from flightjax.models.robot2d import Robot
+    from flightjax.utils.checkpoint import (load_state_orbax,
+                                            save_state_orbax)
+
+    sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02)
+    state = sim.step(sim.init(u_m=0.1))
+    path = str(tmp_path / "ckpt_orbax")
+    save_state_orbax(path, state)
+    restored = load_state_orbax(path, state)
+    s1, s2 = sim.step(state), sim.step(restored)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_plots_smoke(tmp_path):
     from flightjax.core.sim import Simulation
     from flightjax.models.robot2d import Robot
