@@ -191,17 +191,15 @@ class Simulation:
         exact per-step semantics). All lanes share one step counter (true
         for any fleet stepped together from a common start index)."""
         from flightjax.parallel.megakernel import find_vehicle
+        from flightjax.physics.aircraftbase import geoid_deferred
 
         K = self.geoid_every if geoid_every is None else int(geoid_every)
         vehicle = find_vehicle(self.system)
         if vehicle is None or not getattr(vehicle, "geoid_in_step", False):
             return jax.vmap(lambda st: self.step(st, ctx))(state)
 
-        vehicle.geoid_in_step = False
-        try:
+        with geoid_deferred():
             new = jax.vmap(lambda st: self.step(st, ctx))(state)
-        finally:
-            vehicle.geoid_in_step = True
 
         def refresh(operand):
             x, s = operand

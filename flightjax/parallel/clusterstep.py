@@ -69,15 +69,11 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
     vehicle = find_vehicle(sys)
 
     def _no_geoid(fn):
+        from flightjax.physics.aircraftbase import geoid_deferred
+
         def run(*args):
-            if vehicle is None:
+            with geoid_deferred():
                 return fn(*args)
-            old = vehicle.geoid_in_step
-            vehicle.geoid_in_step = False
-            try:
-                return fn(*args)
-            finally:
-                vehicle.geoid_in_step = old
         return run
 
     # ---------------------------------------------------------- stage kernel

@@ -67,15 +67,10 @@ def make_megakernel_step(sim, state, ctx=(), block=512, interpret=False):
     bufs_blk = pack_blk(state_blk)
 
     def flat_step(*bufs):
+        from flightjax.physics.aircraftbase import geoid_deferred
         st = unpack_blk(tuple(bufs))
-        if vehicle is not None:
-            old = vehicle.geoid_in_step
-            vehicle.geoid_in_step = False
-        try:
+        with geoid_deferred():
             st2 = jax.vmap(lambda s: sim.step(s, ctx))(st)
-        finally:
-            if vehicle is not None:
-                vehicle.geoid_in_step = old
         return tuple(pack_blk(st2))
 
     # hoist every captured constant (tables, axes, constant vectors) into

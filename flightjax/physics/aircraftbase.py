@@ -24,6 +24,8 @@ wrench and internal angular momentum — the functional replacement for the
 reference's @generated recursive summation.
 """
 
+import contextlib
+import contextvars
 from typing import NamedTuple
 
 import jax
@@ -34,6 +36,25 @@ from flightjax.physics.atmosphere import SimpleAtmosphere, air_data, AirData
 from flightjax.physics.dynamics import VehicleDynamics, DynamicsU, DynamicsData
 from flightjax.physics.kinematics import KinData, vel_input
 from flightjax.physics.terrain import HorizontalTerrain
+
+
+# Trace-scoped deferral of the per-step EGM96 geoid refresh. A context-local
+# (not an attribute on the Vehicle) so concurrent traces of the same
+# component tree cannot race on shared mutable state.
+_geoid_deferred = contextvars.ContextVar("flightjax_geoid_deferred",
+                                         default=False)
+
+
+@contextlib.contextmanager
+def geoid_deferred():
+    """Within this scope, `Vehicle.f_step` carries `s['geoid_N']` forward
+    unchanged; the caller must refresh it once per step via
+    `Vehicle.refresh_geoid` (see `Simulation.fleet_step`)."""
+    token = _geoid_deferred.set(True)
+    try:
+        yield
+    finally:
+        _geoid_deferred.reset(token)
 
 
 def theta_constraint(v_wb_b, gamma_wb_n, phi_nb):
@@ -159,10 +180,14 @@ class Vehicle(Component):
         return x_dot, VehicleY(systems=sys_y, kinematics=kin,
                                dynamics=dyn_y, airflow=air)
 
-    # When False, f_step carries the geoid undulation forward unchanged and
-    # the caller refreshes it externally (the EGM96 grid gather cannot live
-    # inside a Pallas megakernel — see parallel/megakernel.py). Semantics
-    # are identical as long as the caller refreshes once per step.
+    # When the geoid refresh is deferred (see `geoid_deferred()`), f_step
+    # carries the undulation forward unchanged and the caller refreshes it
+    # externally (the EGM96 grid gather cannot live inside a Pallas
+    # megakernel, and fleet steps hoist it to a scalar-gated lax.cond —
+    # see parallel/megakernel.py, core/sim.py). Semantics are identical as
+    # long as the caller refreshes once per step. `geoid_in_step` remains as
+    # a static per-instance design knob; trace-scoped switching goes through
+    # the context manager, never by mutating this attribute.
     geoid_in_step = True
 
     def f_step(self, x, u, s, t):
@@ -176,7 +201,8 @@ class Vehicle(Component):
         kin, air, trn_fn = self._context(x, u, s)
         sys_x, sys_s = self.systems.f_step(x["systems"], u["systems"],
                                            s["systems"], t, kin, air, trn_fn)
-        N = geoid_height(kin.n_e) if self.geoid_in_step else s["geoid_N"]
+        in_step = self.geoid_in_step and not _geoid_deferred.get()
+        N = geoid_height(kin.n_e) if in_step else s["geoid_N"]
         return dict(x, systems=sys_x), dict(s, systems=sys_s, geoid_N=N)
 
     def refresh_geoid(self, x, s):
