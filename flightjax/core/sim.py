@@ -38,17 +38,22 @@ from flightjax.core.modeling import canonical, tree_where
 
 class SimState(NamedTuple):
     """Carried simulation state: time, step index, periodic firing counter,
-    and the model's (x, u, s) pytrees."""
+    and the model's (x, u, s) pytrees. `c` is the optional compensated-
+    accumulation residual (None = plain accumulation; see `comp_residuals`)
+    — a list aligned with x's flattened leaves, so it never collides with
+    model state."""
     t: Any
     i: Any  # integration step counter (int32)
     x: Any
     u: Any
     s: Any
+    c: Any = None
 
 
-def rk4_step(f_ode, x, u, s, t, dt, ctx=()):
-    """Classic RK4 over an arbitrary pytree continuous state. Matches the
-    reference default algorithm (`sim.jl:186-196`)."""
+def rk4_incr(f_ode, x, u, s, t, dt, ctx=()):
+    """Classic RK4 increment over an arbitrary pytree continuous state.
+    Matches the reference default algorithm (`sim.jl:186-196`). Returns the
+    increment (not x + increment) so callers can apply a compensated add."""
     ax = partial(jax.tree.map, lambda a, b: a + b)  # pytree add
 
     def scaled(tree, c):
@@ -59,24 +64,33 @@ def rk4_step(f_ode, x, u, s, t, dt, ctx=()):
     k3, _ = f_ode(ax(x, scaled(k2, dt / 2)), u, s, t + dt / 2, *ctx)
     k4, _ = f_ode(ax(x, scaled(k3, dt)), u, s, t + dt, *ctx)
 
-    incr = jax.tree.map(
+    return jax.tree.map(
         lambda a, b, c, d: (dt / 6.0) * (a + 2 * b + 2 * c + d), k1, k2, k3, k4)
-    return ax(x, incr)
 
 
-def heun_step(f_ode, x, u, s, t, dt, ctx=()):
-    """Heun's method (the reference's alternate low-order algorithm)."""
+def rk4_step(f_ode, x, u, s, t, dt, ctx=()):
+    return jax.tree.map(lambda a, b: a + b,
+                        x, rk4_incr(f_ode, x, u, s, t, dt, ctx))
+
+
+def heun_incr(f_ode, x, u, s, t, dt, ctx=()):
+    """Heun's-method increment (the reference's alternate low-order
+    algorithm)."""
     add = partial(jax.tree.map, lambda a, b: a + b)
     k1, _ = f_ode(x, u, s, t, *ctx)
     x1 = add(x, jax.tree.map(lambda v: dt * v, k1))
     k2, _ = f_ode(x1, u, s, t + dt, *ctx)
-    incr = jax.tree.map(lambda a, b: (dt / 2.0) * (a + b), k1, k2)
-    return add(x, incr)
+    return jax.tree.map(lambda a, b: (dt / 2.0) * (a + b), k1, k2)
 
 
-def rk4_step_loop(f_ode, x, u, s, t, dt, ctx=()):
-    """RK4 as a 4-iteration `fori_loop` — numerically identical to
-    `rk4_step` (same per-leaf association order), but the f_ode body
+def heun_step(f_ode, x, u, s, t, dt, ctx=()):
+    return jax.tree.map(lambda a, b: a + b,
+                        x, heun_incr(f_ode, x, u, s, t, dt, ctx))
+
+
+def rk4_loop_incr(f_ode, x, u, s, t, dt, ctx=()):
+    """RK4 increment as a 4-iteration `fori_loop` — numerically identical to
+    `rk4_incr` (same per-leaf association order), but the f_ode body
     appears ONCE in the jaxpr instead of four times. Used inside the
     Pallas megakernel, where Mosaic compile time scales with op count.
     Stage coefficients are selected with `where` chains (dynamic indexing
@@ -93,11 +107,77 @@ def rk4_step_loop(f_ode, x, u, s, t, dt, ctx=()):
         return (k, acc)
 
     _, acc = jax.lax.fori_loop(0, 4, body, (zeros, zeros))
-    return jax.tree.map(lambda xv, av: xv + (dt / 6.0) * av, x, acc)
+    return jax.tree.map(lambda av: (dt / 6.0) * av, acc)
+
+
+def rk4_step_loop(f_ode, x, u, s, t, dt, ctx=()):
+    return jax.tree.map(lambda a, b: a + b,
+                        x, rk4_loop_incr(f_ode, x, u, s, t, dt, ctx))
 
 
 _INTEGRATORS = {"rk4": rk4_step, "heun": heun_step,
                 "rk4_loop": rk4_step_loop}
+_INCREMENTS = {"rk4": rk4_incr, "heun": heun_incr,
+               "rk4_loop": rk4_loop_incr}
+
+
+# --------------------------------------------------- compensated integration
+
+def default_comp_predicate(path):
+    """Which continuous-state leaves get compensated (Kahan) accumulation:
+    the geodetic POSITION states of the kinematic mechanizations. Their
+    per-step increments (~transport rate x dt ~ 1.6e-7 at cruise speed) sit
+    at/below the f32 ulp of the O(1) state they update (unit quaternion
+    q_ew, n-vector, latitude in rad), so plain f32 accumulation random-walks
+    at ~1 m/s of flight — the classic single-precision INS limitation.
+    Attitude (q_wb/q_eb/Euler) and velocity states have increments orders of
+    magnitude above their ulp and need no compensation. h_e is included for
+    near-level flight where v_z*dt underflows the metre-scale ulp."""
+    keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+    return ("kinematics" in keys
+            and keys[-1] in ("q_ew", "n_e", "lat", "lon", "h_e"))
+
+
+def comp_residuals(x, predicate=default_comp_predicate, force=False):
+    """Residual list for compensated accumulation: one entry per flattened
+    leaf of x (in `jax.tree.flatten` order), `zeros_like(leaf)` where the
+    predicate selects the leaf path AND the leaf is inexact non-f64, else
+    None. Returns None when nothing qualifies. With `force=True`, f64
+    leaves also qualify (for tests)."""
+    leaves = jax.tree_util.tree_flatten_with_path(x)[0]
+    out, any_comp = [], False
+    for path, v in leaves:
+        v = jnp.asarray(v)
+        ok = (predicate(path) and jnp.issubdtype(v.dtype, jnp.inexact)
+              and (force or v.dtype != jnp.float64))
+        out.append(jnp.zeros_like(v) if ok else None)
+        any_comp = any_comp or ok
+    return out if any_comp else None
+
+
+def comp_add(x, incr, c):
+    """Pytree add with compensated (Kahan/Neumaier) accumulation on the
+    leaves where the residual list `c` (aligned with x's flattened leaves)
+    is not None: the rounding error of each `x + incr` is captured and
+    re-applied to the next step's increment, making the ACCUMULATED
+    position exact to ~ulp of the increments instead of random-walking at
+    the ulp of the state. The Neumaier (branchless two-sum) form stays
+    exact even when an increment exceeds the state (h_e through zero)."""
+    px, treedef = jax.tree_util.tree_flatten_with_path(x)
+    incr_l = treedef.flatten_up_to(incr)
+    out, c_new = [], []
+    for (_, xv), iv, cv in zip(px, incr_l, c):
+        if cv is None:
+            out.append(xv + iv)
+            c_new.append(None)
+        else:
+            y = iv + cv
+            snew = xv + y
+            err = jnp.where(jnp.abs(xv) >= jnp.abs(y),
+                            (xv - snew) + y, (y - snew) + xv)
+            c_new.append(err)
+            out.append(snew)
+    return jax.tree_util.tree_unflatten(treedef, out), c_new
 
 
 class Simulation:
@@ -110,7 +190,7 @@ class Simulation:
     """
 
     def __init__(self, system, dt=0.02, periodic_dt=None, t_start=0.0,
-                 algorithm="rk4", geoid_every=1):
+                 algorithm="rk4", geoid_every=1, compensate="auto"):
         self.system = system
         self.dt = float(dt)
         self.periodic_dt = float(periodic_dt) if periodic_dt is not None else float(dt)
@@ -122,7 +202,13 @@ class Simulation:
                 f"periodic_dt ({self.periodic_dt}) must be a positive integer "
                 f"multiple of dt ({self.dt})")
         self._integ = _INTEGRATORS[algorithm]
+        self._integ_incr = _INCREMENTS[algorithm]
         self.geoid_every = int(geoid_every)
+        # "auto": attach Kahan residuals to the sub-f64 position states at
+        # init() (see `default_comp_predicate`); False: never; or a custom
+        # path predicate. States minted outside init() opt in by populating
+        # SimState.c themselves (e.g. via `comp_residuals`).
+        self.compensate = compensate
         # jitted-executable cache for run(): closures defined inside run()
         # would be new function objects every call, so each run() would
         # re-trace and re-compile the whole scan (55 s of "warm" time for a
@@ -146,8 +232,24 @@ class Simulation:
             x, u, s = (self.system.init_x(), self.system.init_u(),
                        self.system.init_s())
         t = jnp.asarray(self.t_start)
+        c = None
+        if self.compensate is not False and x is not None:
+            pred = (default_comp_predicate if self.compensate == "auto"
+                    else self.compensate)
+            c = comp_residuals(x, pred)
         return canonical(SimState(t=t, i=jnp.asarray(0, dtype=jnp.int32),
-                                  x=x, u=u, s=s))
+                                  x=x, u=u, s=s, c=c))
+
+    def with_compensation(self, state: SimState) -> SimState:
+        """Attach compensated-accumulation residuals to a manually-built
+        SimState per this Simulation's `compensate` policy. No-op if
+        residuals are already attached, the policy is False, or no leaf
+        qualifies (e.g. the whole state is f64)."""
+        if state.c is not None or self.compensate is False or state.x is None:
+            return state
+        pred = (default_comp_predicate if self.compensate == "auto"
+                else self.compensate)
+        return state._replace(c=comp_residuals(state.x, pred))
 
     # ------------------------------------------------------------------ step
 
@@ -155,10 +257,15 @@ class Simulation:
         """Advance one dt: RK4 → f_step → (masked) f_periodic."""
         sys = self.system
         dt = self.dt
-        t, i, x, u, s = state
+        t, i, x, u, s = state[:5]
+        c = state.c
 
         if x is not None:
-            x = self._integ(sys.f_ode, x, u, s, t, dt, ctx)
+            if c is None:
+                x = self._integ(sys.f_ode, x, u, s, t, dt, ctx)
+            else:
+                incr = self._integ_incr(sys.f_ode, x, u, s, t, dt, ctx)
+                x, c = comp_add(x, incr, c)
         # exact boundary hits, no drift; strong-typed so the carry signature
         # is stable under jit (see core.modeling.canonical)
         t_new = jnp.asarray(self.t_start + (i + 1) * dt, jnp.result_type(t))
@@ -172,7 +279,7 @@ class Simulation:
         new_xus = sys.f_periodic(x, u, s, t_new, k, *ctx)
         x, u, s = tree_where(fires, new_xus, (x, u, s))
 
-        return SimState(t=t_new, i=i_new, x=x, u=u, s=s)
+        return SimState(t=t_new, i=i_new, x=x, u=u, s=s, c=c)
 
     def fleet_step(self, state: SimState, ctx=(), geoid_every=None) -> SimState:
         """Batched `step` over a stacked SimState (leading fleet axis), with

@@ -99,6 +99,30 @@ def safe_input(label, value, id=None):
             "value": _num(value)}
 
 
+def section(label, children, open=False, id=None):
+    """Collapsible group of widgets — the web analog of the reference's
+    per-model ImGui tree nodes (`gui.jl:243-246`). Open/closed state is
+    kept client-side across refreshes, keyed by `id`."""
+    return {"kind": "section", "label": str(label), "id": id or str(label),
+            "open": bool(open), "children": list(children)}
+
+
+def sparkline(label, values, lo=None, hi=None, width=220, height=30):
+    """Small history plot of a scalar series (most recent last). Auto-ranges
+    when lo/hi are omitted."""
+    vals = [_num(v) for v in values]
+    if not vals:
+        vals = [0.0]
+    if lo is None:
+        lo = min(vals)
+    if hi is None:
+        hi = max(vals)
+    if hi - lo < 1e-12:
+        lo, hi = lo - 0.5, hi + 0.5
+    return {"kind": "spark", "label": str(label), "values": vals,
+            "lo": _num(lo), "hi": _num(hi), "w": int(width), "h": int(height)}
+
+
 def canvas(shapes, width=360, height=240):
     """2-D vector canvas (the web analog of the reference's custom ImGui
     draw-list canvas, `robot2d.jl:141-199`). `shapes` is a list of dicts:
@@ -128,15 +152,40 @@ border-radius:3px;vertical-align:middle;position:relative}
 .bar>span{position:absolute;left:6px;top:0;font-size:11px;color:#fff}
 input[type=range]{width:220px;vertical-align:middle}
 input[type=number]{width:90px;background:#262b33;color:#cfd6e1;border:1px
-solid #3a4150}</style></head><body><div id="root">connecting…</div><script>
+solid #3a4150}
+details{margin:2px 0 2px 8px;border-left:1px solid #3a4150;padding-left:8px}
+summary{cursor:pointer;color:#8fa3c0}</style></head>
+<body><div id="root">connecting…</div><script>
 const post=(id,value)=>fetch('/event',{method:'POST',
   body:JSON.stringify({id,value})});
 let held=null;
+const openSet=new Set();
 function render(frame){
   const root=document.getElementById('root');root.innerHTML='';
+  renderInto(root,frame);}
+function renderInto(root,frame){
   for(const w of frame){
+    if(w.kind==='section'){const dt=document.createElement('details');
+      dt.open=openSet.has(w.id)||(w.open&&!openSet.has('!'+w.id));
+      const sm=document.createElement('summary');sm.textContent=w.label;
+      dt.appendChild(sm);
+      dt.ontoggle=()=>{if(dt.open){openSet.add(w.id);openSet.delete('!'+w.id);}
+        else{openSet.delete(w.id);openSet.add('!'+w.id);}};
+      renderInto(dt,w.children);root.appendChild(dt);continue;}
     const d=document.createElement('div');d.className='w';
     if(w.kind==='text'){d.textContent=w.label;}
+    else if(w.kind==='spark'){
+      d.innerHTML=`<span class="lbl">${w.label}</span>`;
+      const c=document.createElement('canvas');c.width=w.w;c.height=w.h;
+      c.style.background='#0d0f13';c.style.verticalAlign='middle';
+      const g=c.getContext('2d');g.strokeStyle='#6ec87a';g.lineWidth=1.5;
+      const n=w.values.length,sp=(w.hi-w.lo)||1;g.beginPath();
+      for(let i=0;i<n;i++){const x=n>1?i/(n-1)*w.w:0;
+        const y=w.h-((w.values[i]-w.lo)/sp)*(w.h-4)-2;
+        i?g.lineTo(x,y):g.moveTo(x,y);}
+      g.stroke();d.appendChild(c);
+      const v=document.createElement('span');
+      v.textContent=' '+w.values[n-1].toPrecision(5);d.appendChild(v);}
     else if(w.kind==='button'){const b=document.createElement('button');
       b.textContent=w.label;b.style.background=w.color;
       b.onclick=()=>post(w.id,'value' in w?w.value:true);d.appendChild(b);}

@@ -303,4 +303,5 @@ def flagship_sim():
         t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
         x={"vehicle": x}, u={"vehicle": u},
         s={"vehicle": s, "terminated": jnp.asarray(False)}))
-    return sim, state, ()
+    # f32 runs get Kahan-compensated position accumulation (no-op in f64)
+    return sim, sim.with_compensation(state), ()

@@ -13,7 +13,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from flightjax.io.devices import IOMapping, InputMappingError
-from flightjax.io.joystick import exp_axis_curve
+from flightjax.io.joystick import (GladiatorNXTEvoData, T16000MData,
+                                   TWCSData, exp_axis_curve, is_pressed,
+                                   was_released)
 from flightjax.io.network import c172_xplane_messages
 
 
@@ -29,59 +31,152 @@ def rudder_curve(x):
     return exp_axis_curve(x, strength=1.5, deadzone=0.05)
 
 
-# T16000M axis indices: 0 stick_x, 1 stick_y, 2 stick_z (twist), 3 throttle
+# legacy dict-form T16000M axis indices: 0 stick_x, 1 stick_y, 2 stick_z
+# (twist), 3 throttle (raw, unrescaled)
 _AX_X, _AX_Y, _AX_Z, _AX_THR = 0, 1, 2, 3
-_HAT_UP, _HAT_RIGHT, _HAT_DOWN, _HAT_LEFT = 1, 2, 4, 8
+
+
+def _stick_inputs(data):
+    """(throttle [0,1], roll, pitch, yaw, brake, flaps_up_edge,
+    flaps_down_edge, trim_edges) from any supported stick's typed data, with
+    the reference's per-device button roles:
+
+    - T16000M (`c172s0.jl:28-51`, `c172x1.jl:32-66`): brakes button_1,
+      flaps up/down button_3/button_2, trim on the hat.
+    - Gladiator NXT Evo (`c172x1.jl:69-104`): brakes F2 (+F3 right), flaps
+      switch_down/switch_up, trim on the A4 hat.
+    """
+    ax = data.axes
+    if isinstance(data, T16000MData):
+        b = data.buttons
+        brake_l = brake_r = float(is_pressed(b.button_1))
+        flaps_up, flaps_dn = was_released(b.button_3), was_released(b.button_2)
+        trim = data.hat
+        yaw_axis = ax.stick_z
+    else:  # GladiatorNXTEvoData
+        b = data.buttons
+        brake_l, brake_r = float(is_pressed(b.F2)), float(is_pressed(b.F3))
+        flaps_up, flaps_dn = (was_released(b.switch_down),
+                              was_released(b.switch_up))
+        # A4 hat plays the trim role (`c172x1.jl:87-92`)
+        from flightjax.io.joystick import HatButtons
+        trim = HatButtons(up=b.A4_up, right=b.A4_right, down=b.A4_down,
+                          left=b.A4_left)
+        yaw_axis = ax.stick_z
+    return dict(throttle=ax.throttle, roll=aileron_curve(ax.stick_x),
+                pitch=elevator_curve(ax.stick_y),
+                yaw=rudder_curve(yaw_axis), brake_l=brake_l, brake_r=brake_r,
+                flaps_up=flaps_up, flaps_dn=flaps_dn, trim=trim)
+
+
+def _legacy_stick_inputs(data):
+    """Back-compat dict(axes, buttons, hat) form (generic devices)."""
+    try:
+        axes, btn = data["axes"], data["buttons"]
+    except (KeyError, TypeError) as exc:
+        raise InputMappingError(str(exc))
+    from flightjax.io.joystick import Button, HatButtons
+    brake = float(btn.pressed[0])
+    return dict(throttle=0.5 * (1 - axes[_AX_THR]),
+                roll=aileron_curve(axes[_AX_X]),
+                pitch=elevator_curve(axes[_AX_Y]),
+                yaw=rudder_curve(axes[_AX_Z]), brake_l=brake, brake_r=brake,
+                flaps_up=bool(btn.was_released[2]),
+                flaps_dn=bool(btn.was_released[1]),
+                trim=HatButtons(Button(), Button(), Button(), Button()))
+
+
+def _any_stick_inputs(data):
+    if isinstance(data, (T16000MData, GladiatorNXTEvoData)):
+        return _stick_inputs(data)
+    if isinstance(data, TWCSData):
+        return None  # handled by the throttle path
+    return _legacy_stick_inputs(data)
 
 
 class C172Sv0JoystickMapping(IOMapping):
-    """T16000M -> mechanical actuation inputs (`c172s0.jl:21-50`)."""
+    """Stick -> mechanical actuation inputs (`c172s0.jl:21-51`). Accepts
+    T16000M / Gladiator NXT Evo typed data, the legacy dict form, and
+    TWCSData as a PAIRED THROTTLE: a TWCS poll updates only throttle (and
+    rudder from the rocker for pedal-less setups), leaving the stick's
+    surface commands untouched."""
+
+    TRIM_SF = 2e-4  # trim step per hat click (`c172s0.jl:43-46`)
 
     def assign_input(self, u, data):
-        try:
-            axes, btn = data["axes"], data["buttons"]
-        except (KeyError, TypeError) as exc:
-            raise InputMappingError(str(exc))
         act = dict(u["vehicle"]["systems"]["act"])
-        act["throttle"] = jnp.asarray(0.5 * (1 - axes[_AX_THR]))
-        act["aileron"] = jnp.asarray(aileron_curve(axes[_AX_X]))
-        act["elevator"] = jnp.asarray(elevator_curve(axes[_AX_Y]))
-        act["rudder"] = jnp.asarray(rudder_curve(axes[_AX_Z]))
-        brake = float(btn.pressed[0])
-        act["brake_left"] = jnp.asarray(brake)
-        act["brake_right"] = jnp.asarray(brake)
-        if btn.was_released[2]:
-            act["flaps"] = jnp.clip(act["flaps"] + 0.3333, 0, 1)
-        if btn.was_released[1]:
-            act["flaps"] = jnp.clip(act["flaps"] - 0.3333, 0, 1)
+        if isinstance(data, TWCSData):
+            act["throttle"] = jnp.asarray(data.axes.throttle)
+            act["rudder"] = jnp.asarray(rudder_curve(data.axes.rocker))
+        else:
+            d = _any_stick_inputs(data)
+            act["throttle"] = jnp.asarray(d["throttle"])
+            act["aileron"] = jnp.asarray(d["roll"])
+            act["elevator"] = jnp.asarray(d["pitch"])
+            act["rudder"] = jnp.asarray(d["yaw"])
+            act["brake_left"] = jnp.asarray(d["brake_l"])
+            act["brake_right"] = jnp.asarray(d["brake_r"])
+            if d["flaps_up"]:
+                act["flaps"] = jnp.clip(act["flaps"] + 0.3333, 0, 1)
+            if d["flaps_dn"]:
+                act["flaps"] = jnp.clip(act["flaps"] - 0.3333, 0, 1)
+            t = d["trim"]
+            sf = self.TRIM_SF
+            d_ail = sf * (was_released(t.right) - was_released(t.left))
+            d_elv = sf * (was_released(t.down) - was_released(t.up))
+            if d_ail:
+                act["aileron_offset"] = act["aileron_offset"] + d_ail
+            if d_elv:
+                act["elevator_offset"] = act["elevator_offset"] + d_elv
         sys_u = dict(u["vehicle"]["systems"], act=act)
         return dict(u, vehicle=dict(u["vehicle"], systems=sys_u))
 
 
 class C172Xv1JoystickMapping(IOMapping):
-    """T16000M -> control-law references (`c172x1.jl:32-65`)."""
+    """Stick -> control-law references (`c172x1.jl:32-104`). Same device
+    dispatch as C172Sv0JoystickMapping; trim clicks move the control-law
+    offsets at 5e-3 per click and brakes/flaps act on the FBW actuation."""
 
-    Q_SF = 0.5
-    P_SF = 0.5
+    Q_SF = 0.5  # pitch rate sensitivity (`c172x1.jl:37`)
+    P_SF = 0.5  # roll rate sensitivity
+    TRIM_SF = 5e-3  # offset step per hat click (`c172x1.jl:50-57`)
+
+    def _act_u(self, u):
+        return u["vehicle"]["systems"]["act"]
 
     def assign_input(self, u, data):
-        try:
-            axes, btn = data["axes"], data["buttons"]
-        except (KeyError, TypeError) as exc:
-            raise InputMappingError(str(exc))
         lon = dict(u["avionics"]["lon"])
         lat = dict(u["avionics"]["lat"])
-        pitch = elevator_curve(axes[_AX_Y])
-        roll = aileron_curve(axes[_AX_X])
-        yaw = rudder_curve(axes[_AX_Z])
-        lon["throttle_axis"] = jnp.asarray(0.5 * (1 - axes[_AX_THR]))
-        lon["elevator_axis"] = jnp.asarray(pitch)
-        lon["q_ref"] = jnp.asarray(self.Q_SF * pitch)
-        lat["aileron_axis"] = jnp.asarray(roll)
-        lat["rudder_axis"] = jnp.asarray(yaw)
-        lat["p_ref"] = jnp.asarray(self.P_SF * roll)
+        if isinstance(data, TWCSData):
+            lon["throttle_axis"] = jnp.asarray(data.axes.throttle)
+            lat["rudder_axis"] = jnp.asarray(rudder_curve(data.axes.rocker))
+            av = dict(u["avionics"], lon=lon, lat=lat)
+            return dict(u, avionics=av)
+        d = _any_stick_inputs(data)
+        lon["throttle_axis"] = jnp.asarray(d["throttle"])
+        lon["elevator_axis"] = jnp.asarray(d["pitch"])
+        lon["q_ref"] = jnp.asarray(self.Q_SF * d["pitch"])
+        lat["aileron_axis"] = jnp.asarray(d["roll"])
+        lat["rudder_axis"] = jnp.asarray(d["yaw"])
+        lat["p_ref"] = jnp.asarray(self.P_SF * d["roll"])
+        t, sf = d["trim"], self.TRIM_SF
+        d_elv = sf * (was_released(t.down) - was_released(t.up))
+        d_ail = sf * (was_released(t.right) - was_released(t.left))
+        if d_elv:
+            lon["elevator_offset"] = lon["elevator_offset"] + d_elv
+        if d_ail:
+            lat["aileron_offset"] = lat["aileron_offset"] + d_ail
+        act = dict(self._act_u(u))
+        act["brake_left"] = jnp.asarray(d["brake_l"])
+        act["brake_right"] = jnp.asarray(d["brake_r"])
+        if d["flaps_up"]:
+            act["flaps"] = jnp.clip(act["flaps"] + 0.3333, 0, 1)
+        if d["flaps_dn"]:
+            act["flaps"] = jnp.clip(act["flaps"] - 0.3333, 0, 1)
         av = dict(u["avionics"], lon=lon, lat=lat)
-        return dict(u, avionics=av)
+        sys_u = dict(u["vehicle"]["systems"], act=act)
+        return dict(u, avionics=av,
+                    vehicle=dict(u["vehicle"], systems=sys_u))
 
 
 # ------------------------------------------------------- JSON telecommand

@@ -114,7 +114,7 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
     spp = sim.steps_per_periodic
 
     def step(st: SimState) -> SimState:
-        t, i, x, u, s = st
+        t, i, x, u, s = st[:5]
 
         # stages via lax.scan so the stage kernel appears once in the
         # compiled module (unrolled, 4 instantiations overran the remote
@@ -167,7 +167,8 @@ def make_cluster_step(sim, state, ctx=(), block=1024, interpret=False,
             x, u, s = jax.tree.map(lambda a, b: bwhere(fires, a, b),
                                    new_xus, (x, u, s))
 
-        return SimState(t=t_new, i=i_new, x=x, u=u, s=s)
+        # Pallas path is uncompensated; residuals pass through untouched
+        return SimState(t=t_new, i=i_new, x=x, u=u, s=s, c=st.c)
 
     return step
 
@@ -527,7 +528,7 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret, minor=False,
     spp = sim.steps_per_periodic
 
     def step(st: SimState) -> SimState:
-        t, i, x, u, s = st
+        t, i, x, u, s = st[:5]
         xv, uv, sv = x["vehicle"], u["vehicle"], s["vehicle"]
         term = s["terminated"]
         zeros = jax.tree.map(jnp.zeros_like, xv)
@@ -604,6 +605,7 @@ def _make_cluster_step_split(sim, state, ctx, block, interpret, minor=False,
                     lambda a, b: bwhere(fires, a, b),
                     new_xus, (x2, u2, s2))
 
-        return SimState(t=t_new, i=i_new, x=x2, u=u2, s=s2)
+        # Pallas path is uncompensated; residuals pass through untouched
+        return SimState(t=t_new, i=i_new, x=x2, u=u2, s=s2, c=st.c)
 
     return step

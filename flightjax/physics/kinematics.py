@@ -142,9 +142,18 @@ def kin_data_from_init(ic: KinInit) -> KinData:
                             ic.omega_wb_b, omega_eb_b, v_eb_b, ic.v_eb_n)
 
 
-def _normalize_block(x, eps=1e-8):
+def _normalize_block(x, eps=None):
     """Renormalize only when drifted beyond eps (`kinematics.jl:114-118`),
-    branch-free."""
+    branch-free. The default eps is dtype-aware: the reference's 1e-8 in
+    f64; 32 ulp (~3.8e-6) in f32, where the norm MEASUREMENT itself is only
+    ~ulp-accurate — a 1e-8 gate would fire every step on measurement noise,
+    and each spurious x/n rounds the state by ±ulp, defeating the
+    compensated position accumulation (`core.sim.comp_add`). True norm
+    drift of the quaternion/n-vector ODEs is orders of magnitude below
+    either gate over any realistic flight."""
+    if eps is None:
+        eps = 32 * jnp.finfo(jnp.asarray(x).dtype).eps
+        eps = max(float(eps), 1e-8)
     n = jnp.linalg.norm(x, axis=-1, keepdims=True)
     return bwhere(jnp.abs(n - 1.0)[..., 0] > eps, x / n, x)
 

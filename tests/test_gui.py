@@ -139,3 +139,80 @@ def test_c172x_dashboard_and_mapping():
     assert float(u4["avionics"]["lat"]["chi_ref"]) == 1.0
     with pytest.raises(Exception):
         m.assign_input(u4, ("bogus_widget", 1.0))
+
+
+# ------------------------------------------------------- generic inspector
+
+def test_inspector_robot2d_zero_model_code():
+    """Inspector auto-generates a dashboard from the Robot2D output pytree:
+    sections per group, sparklines for scalars, no per-model code
+    (the `GUI.draw!`-everywhere analog, `gui.jl:243-246`)."""
+    import jax.numpy as jnp
+
+    from flightjax.core.sim import Simulation
+    from flightjax.io.inspector import Inspector
+    from flightjax.models.robot2d import Robot
+
+    sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02)
+    st = sim.init(u_m=0.1)
+    y = sim.output(st)
+
+    insp = Inspector()
+    frame = insp.frame(y, t=st.t)
+    kinds = {w["kind"] for w in frame}
+    assert "text" in kinds and "section" in kinds
+    # history accumulates across frames
+    st2 = sim.step(st)
+    frame2 = insp.frame(sim.output(st2), t=st2.t)
+
+    def sparks(ws):
+        for w in ws:
+            if w["kind"] == "spark":
+                yield w
+            elif w["kind"] == "section":
+                yield from sparks(w["children"])
+
+    s1 = {w["label"]: len(w["values"]) for w in sparks(frame)}
+    s2 = {w["label"]: len(w["values"]) for w in sparks(frame2)}
+    assert s1 and all(s2[k] == n + 1 for k, n in s1.items())
+
+
+def test_inspector_c172x_and_renderer_end_to_end(renderer):
+    """Inspector over the full C172X v2 world output, served through a live
+    Renderer: the /frame endpoint returns nested sections with control-law
+    state visible — the reference's ctl debug window (`c172x_ctl.jl:715-726`)
+    with zero per-model code."""
+    import os
+
+    from flightjax.models.c172.c172x_design import GAINS_PATH
+    if not os.path.exists(GAINS_PATH):
+        pytest.skip("gains not generated")
+
+    from flightjax.core.sim import Simulation
+    from flightjax.io.inspector import Inspector, InspectorMapping
+    from flightjax.models.c172 import c172x, common as C172
+    from flightjax.physics.aircraftbase import SimpleWorld
+
+    aircraft = c172x.build_xv2("wa")
+    world = SimpleWorld(aircraft)
+    sim = Simulation(world, dt=0.02, periodic_dt=0.02)
+    state, _, _ = c172x.trim_world(aircraft, C172.trim_parameters(),
+                                   periodic_dt=0.02)
+    y = sim.output(state)
+
+    renderer.f_draw = Inspector()
+    data = InspectorMapping().extract_output(state, y)
+    renderer.handle_data(data)
+
+    frame = json.loads(_get(f"http://127.0.0.1:{renderer.port}/frame"))
+    labels = set()
+
+    def walk(ws):
+        for w in ws:
+            labels.add(w.get("label", ""))
+            walk(w.get("children", []))
+
+    walk(frame)
+    # vehicle physics AND avionics internals are all inspectable
+    assert "vehicle" in labels and "avionics" in labels
+    assert any(lbl.startswith("EAS") for lbl in labels)

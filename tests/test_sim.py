@@ -215,3 +215,72 @@ def test_jit_stability():
     for _ in range(10):
         st = step(st)
     assert len(traced) == 1
+
+
+def test_compensated_accumulation():
+    """Kahan-compensated accumulation (`comp_add`) recovers sub-ulp
+    increments that plain accumulation drops entirely. Simulated in f64 by
+    accumulating increments ~1e-18 onto a state of O(1): plain adds are
+    exact no-ops; compensated adds track the true sum."""
+    from flightjax.core.sim import comp_add, comp_residuals
+
+    class Drift:
+        def init_x(self):
+            return {"kinematics": {"h_e": jnp.asarray(1.0)},
+                    "other": jnp.asarray(1.0)}
+
+        def init_u(self):
+            return None
+
+        def init_s(self):
+            return None
+
+        def f_ode(self, x, u, s, t):
+            return jax.tree.map(lambda v: jnp.full_like(v, 1e-18), x), None
+
+        def f_step(self, x, u, s, t):
+            return x, s
+
+        def f_periodic(self, x, u, s, t, k):
+            return x, u, s
+
+    sim = Simulation(Drift(), dt=1.0)
+    st = sim.init()
+    # auto policy skips f64 leaves; force residuals on for the test
+    st = st._replace(c=comp_residuals(st.x, force=True))
+    assert st.c is not None and any(v is not None for v in st.c)
+
+    step = jax.jit(lambda s: sim.step(s))
+    for _ in range(1000):
+        st = step(st)
+    # true sum: 1.0 + 1000 * 1e-18; recover it from value + residual
+    # (subtract 1.0 from the value FIRST — both are representable, so the
+    # difference is exact; value + residual would round the residual away)
+    got = (float(st.x["kinematics"]["h_e"]) - 1.0) + float(st.c[0])
+    np.testing.assert_allclose(got, 1e-15, rtol=1e-6)
+    # 'other' sits outside the kinematics predicate: stays uncompensated
+    assert st.c[1] is None
+    assert float(st.x["other"]) == 1.0  # plain adds drop sub-ulp increments
+    # and a c=None state drops them on every leaf
+    st2 = sim.init()._replace(c=None)
+    for _ in range(5):
+        st2 = step(st2)
+    assert float(st2.x["kinematics"]["h_e"]) == 1.0
+
+
+def test_comp_predicate_selects_position_states():
+    """`default_comp_predicate` picks exactly the kinematic position leaves
+    (WA: q_ew + h_e) and leaves attitude/dynamics/systems uncompensated."""
+    from flightjax.core.sim import comp_residuals
+    from flightjax.models.c172 import c172s
+
+    world = c172s.flagship_world("wa")
+    x = world.aircraft.init_x()
+    c = comp_residuals({"vehicle": x}, force=True)
+    leaves = jax.tree_util.tree_flatten_with_path({"vehicle": x})[0]
+    comped = {jax.tree_util.keystr(path)
+              for (path, _), cv in zip(leaves, c) if cv is not None}
+    assert comped == {
+        "['vehicle']['vehicle']['kinematics']['h_e']",
+        "['vehicle']['vehicle']['kinematics']['q_ew']",
+    }
