@@ -10,6 +10,7 @@ import jax
 import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flightjax.models.c172.c172x import (ACT_CHANNELS, Actuator1, Actuator2,
                                          FlyByWireActuation)
@@ -119,3 +120,6 @@ def test_fbw_mixed_actuators():
     np.testing.assert_allclose(float(y["pos"]["elevator"]), 0.4, atol=1e-3)
     np.testing.assert_allclose(float(y["pos"]["throttle"]), 0.7, atol=1e-3)
     assert int(y["sat"]["elevator"]) == 0
+
+
+pytestmark = pytest.mark.fast

@@ -8,6 +8,7 @@ matches the requested one.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flightjax.ops import attitude as att
 from flightjax.physics import atmosphere as atm
@@ -90,3 +91,6 @@ def test_theta_constraint_batched():
         th_i = theta_constraint(v[i], float(jnp.asarray([0.0, 0.03, -0.02])[i]),
                                 float(jnp.asarray([0.0, 0.2, -0.3])[i]))
         np.testing.assert_allclose(float(th[i]), float(th_i), rtol=1e-12)
+
+
+pytestmark = pytest.mark.fast

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flightjax.physics import atmosphere as atm
 from flightjax.physics import kinematics as K
@@ -71,3 +72,6 @@ def test_airflow_angles():
     q_aw = atm.get_wind_axes(0.1, -0.05)
     v_w = qrot(jnp.concatenate([q_aw[:1], -q_aw[1:]]), v)  # q_wa rotation
     np.testing.assert_allclose(v_w, [100.0, 0.0, 0.0], atol=1e-9)
+
+
+pytestmark = pytest.mark.fast

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flightjax.ops import attitude as A
 from flightjax.ops import quaternions as Q
@@ -96,3 +97,6 @@ def test_skew():
     a = jnp.asarray([1.0, 2.0, 3.0])
     b = jnp.asarray([-2.0, 0.5, 4.0])
     np.testing.assert_allclose(A.skew(a) @ b, jnp.cross(a, b), atol=1e-14)
+
+
+pytestmark = pytest.mark.fast

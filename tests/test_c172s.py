@@ -20,6 +20,7 @@ def trimmed():
     return vehicle, x, u, s, ts, float(rnorm)
 
 
+@pytest.mark.fast
 def test_trim_converges(trimmed):
     vehicle, x, u, s, ts, rnorm = trimmed
     assert rnorm < 1e-10
@@ -37,6 +38,7 @@ def test_trim_converges(trimmed):
                                atol=1e-9)
 
 
+@pytest.mark.fast
 def test_trim_state_plausible(trimmed):
     _, _, _, _, ts, _ = trimmed
     assert 0.0 < float(ts.alpha_a) < 0.09      # below stall onset

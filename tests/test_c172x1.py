@@ -59,6 +59,7 @@ def veh_y(vehicle, state):
     return y
 
 
+@pytest.mark.fast
 def test_direct_preserves_trim(rig):
     sim, s0, vehicle, y_trim = rig
     final = run(sim, s0, 10.0)

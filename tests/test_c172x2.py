@@ -21,6 +21,7 @@ pytestmark = pytest.mark.skipif(
 DT = 0.01
 
 
+@pytest.mark.fast
 def test_segment_data_geometry():
     """Along/cross-track decomposition (`c172x_gdc.jl:102-148`)."""
     seg = GDC.segment_from_vector(0.0, 0.0, 1000.0, chi=0.0, s=10000.0,
@@ -43,6 +44,7 @@ def test_segment_data_geometry():
     assert float(d.chi_12) == pytest.approx(0.0, abs=1e-6)
 
 
+@pytest.mark.fast
 def test_guidance_intercept_law():
     """dchi = -dchi_inf (2/pi) atan(e/e_sf) (`c172x_gdc.jl:243-244`)."""
     g = GDC.GuidanceLaws()

@@ -91,6 +91,7 @@ def test_cluster_step_avionics_periodic(layout):
         assert err < 1e-6, (a.dtype, err)
 
 
+@pytest.mark.fast
 def test_to_minor_roundtrip():
     sim, state0, ctx = flagship_sim()
     state = jax.tree.map(

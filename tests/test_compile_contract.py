@@ -21,6 +21,7 @@ def _cache_size(fn):
     return fn._cache_size()
 
 
+@pytest.mark.fast
 def test_robot2d_step_compiles_once():
     from flightjax.models.robot2d import Robot
 

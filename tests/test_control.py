@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flightjax.physics import control as C
 
@@ -154,3 +155,6 @@ def test_schedule_roundtrip(tmp_path):
     # jit-compatible
     f = jax.jit(lambda e, h: C.schedule(lut, e, h).k_p)
     np.testing.assert_allclose(f(45.0, 1500.0), 4.5, atol=1e-12)
+
+
+pytestmark = pytest.mark.fast

@@ -6,6 +6,7 @@ and parameter identification on the Robot2D stack."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flightjax.core.sim import Simulation
 from flightjax.models import robot2d as R
@@ -20,6 +21,7 @@ def make_sim(u_m=0.0):
     return sim, state
 
 
+@pytest.mark.fast
 def test_rollout_matches_run():
     sim, state = make_sim(u_m=0.3)
     final_a = rollout(sim, state, 100)
@@ -46,6 +48,7 @@ def test_checkpointed_rollout_matches_plain():
     np.testing.assert_allclose(float(g_plain), float(g_seg), rtol=1e-10)
 
 
+@pytest.mark.fast
 def test_gradient_matches_finite_difference():
     # the whole point: d(loss)/d(input) through RK4 + f_step agrees with
     # central finite differences

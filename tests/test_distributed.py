@@ -137,3 +137,6 @@ def test_two_process_dcn_rollout(single_process_truth):
         got_v += res["local_v"]
     # per-lane physics identical to the single-process sharded run
     np.testing.assert_allclose(got_v, truth["v"], rtol=1e-12)
+
+
+pytestmark = pytest.mark.fast

@@ -134,3 +134,34 @@ print('RESULT', json.dumps(dict(
     # increments: 0.73 m at 10 s vs 63 m uncompensated (exp_f32_comp.py).
     assert np.linalg.norm(dv) < 0.05, dv
     assert np.linalg.norm(dr) < 5.0, dr
+
+
+@pytest.mark.fast
+def test_mechanization_agreement_bare_body_1s():
+    """Fast-tier drift check: a bare 6-DOF body (NoVehicleSystems, no aero/
+    engine/gear) flown 1 s from a spinning, translating initial condition —
+    WA vs ECEF agreement isolates the kinematics/integration chain at a
+    fraction of the full-aircraft cost."""
+    from flightjax.physics.aircraftbase import Vehicle, NoVehicleSystems
+    from flightjax.physics.kinematics import WA, ECEF, kin_init
+
+    ic = kin_init(lat=0.7, lon=0.2, h=800.0, euler=[0.3, 0.05, -0.1],
+                  omega_wb_b=[0.1, -0.2, 0.05], v_eb_n=[50.0, 5.0, -2.0])
+    out = {}
+    for name, kin in (("wa", WA()), ("ecef", ECEF())):
+        veh = Vehicle(NoVehicleSystems(mass=100.0), kin)
+        x = veh.init_x(kin_init=ic)
+        u = veh.init_u()
+        s = veh.init_s(x=x)
+        sim = Simulation(veh, dt=0.02)
+        state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, jnp.int32),
+                         x=x, u=u, s=s)
+        final, _ = sim.run(state, t_end=1.0, save_y=False)
+        _, y = veh.f_ode(final.x, final.u, final.s, 1.0)
+        out[name] = y
+    np.testing.assert_allclose(np.asarray(out["wa"].kinematics.r_eb_e),
+                               np.asarray(out["ecef"].kinematics.r_eb_e),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out["wa"].kinematics.v_eb_b),
+                               np.asarray(out["ecef"].kinematics.v_eb_b),
+                               atol=1e-9)

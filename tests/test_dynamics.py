@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flightjax.physics import dynamics as D
 from flightjax.physics import kinematics as K
@@ -168,3 +169,6 @@ def test_free_fall_trajectory():
     np.testing.assert_allclose(drop, 0.5 * g * 25.0, rtol=1e-3)
     # Coriolis deflects eastward (northern hemisphere, falling): v_E > 0
     assert float(y.v_eb_n[1]) > 0
+
+
+pytestmark = pytest.mark.fast

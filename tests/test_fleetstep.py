@@ -52,6 +52,7 @@ def test_fleet_step_k8_micrometre_drift(flagship):
     assert _max_err(got, ref) < 1e-4
 
 
+@pytest.mark.fast
 def test_fleet_step_no_vehicle_fallback():
     """Systems without a Vehicle (Robot2D) take the plain vmap path."""
     from flightjax.core.sim import Simulation

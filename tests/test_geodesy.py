@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flightjax.ops import geodesy as G
 from flightjax.ops import attitude as A
@@ -108,3 +109,6 @@ def test_radii():
     n_p = G.nvector_from_latlon(np.pi / 2, 0.0)
     Mp, Np = G.radii(n_p)
     np.testing.assert_allclose(Mp, Np, rtol=1e-12)  # both = a/sqrt(1-e2)
+
+
+pytestmark = pytest.mark.fast

@@ -34,6 +34,7 @@ def renderer():
     r.shutdown()
 
 
+@pytest.mark.fast
 def test_widget_kit_shapes():
     frame = [
         gui.text("hello"),
@@ -54,6 +55,7 @@ def test_widget_kit_shapes():
     json.dumps(frame)  # must be JSON-serializable
 
 
+@pytest.mark.fast
 def test_page_and_frame_roundtrip(renderer):
     base = f"http://127.0.0.1:{renderer.port}"
     page = _get(base + "/").decode()
@@ -64,6 +66,7 @@ def test_page_and_frame_roundtrip(renderer):
     assert frame[0]["kind"] == "bar" and frame[0]["value"] == 1234.5
 
 
+@pytest.mark.fast
 def test_event_loopback(renderer):
     base = f"http://127.0.0.1:{renderer.port}"
     got = []
@@ -143,6 +146,7 @@ def test_c172x_dashboard_and_mapping():
 
 # ------------------------------------------------------- generic inspector
 
+@pytest.mark.fast
 def test_inspector_robot2d_zero_model_code():
     """Inspector auto-generates a dashboard from the Robot2D output pytree:
     sections per group, sparklines for scalars, no per-model code

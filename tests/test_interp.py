@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flightjax.ops.interp import Lookup
 
@@ -136,3 +137,6 @@ def test_mosaic_safe_toggles_kron_path():
     with mosaic_safe():
         assert interp._KRON_STATIC is True
     assert interp._KRON_STATIC is False
+
+
+pytestmark = pytest.mark.fast

@@ -14,6 +14,7 @@ from flightjax.io import network as net
 from flightjax.io.devices import IOMapping, InputMappingError
 
 
+@pytest.mark.fast
 def test_udp_loopback():
     """Output -> input through localhost (`test_network.jl:22-60`)."""
     rx = net.UDPInput(port=49390)
@@ -40,6 +41,7 @@ def test_udp_loopback():
     tx.shutdown()
 
 
+@pytest.mark.fast
 def test_json_loopback():
     """JSON telecommand round-trip (`c172_demos.jl:318-400` pattern)."""
     rx = net.UDPInput(port=49391)
@@ -57,6 +59,7 @@ def test_json_loopback():
     tx.shutdown()
 
 
+@pytest.mark.fast
 def test_xplane_message_formats():
     """Byte-exact protocol checks (`network.jl:160-196`)."""
     msg = net.xpmsg_cmd("sim/operation/fix_all_systems")
@@ -144,6 +147,7 @@ def test_plots_smoke(tmp_path):
     assert len(pngs) > 0
 
 
+@pytest.mark.fast
 def test_joystick_graceful_without_sdl():
     from flightjax.io.joystick import connected_joysticks, exp_axis_curve
     assert connected_joysticks() == [] or True  # no SDL on CI: empty list

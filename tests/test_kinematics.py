@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flightjax.physics import kinematics as K
 from flightjax.ops import geodesy as geo
@@ -118,3 +119,6 @@ def test_quat_renorm_step():
     x["q_wb"] = x2["q_wb"] * (1 + 1e-10)
     x3, _ = wa.f_step(x, wa.init_u(ic), None, 0.0)
     np.testing.assert_allclose(x3["q_wb"], x["q_wb"], atol=0)
+
+
+pytestmark = pytest.mark.fast

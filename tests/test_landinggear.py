@@ -174,3 +174,6 @@ def test_gearset_per_leg_matches_vmapped():
         assert bool(sy.wow == sy_ref.wow[i])
         assert bool(jnp.all(sy.alpha_ts == sy_ref.alpha_ts[i]))
         assert bool(jnp.all(sy.xi_dot == sy_ref.xi_dot[i]))
+
+
+pytestmark = pytest.mark.fast

@@ -131,3 +131,6 @@ def test_linear_state_space_simulates():
     assert len(ts) == 100
     np.testing.assert_allclose(np.asarray(ts.y)[-1, 0], np.exp(-1.0),
                                atol=1e-9)
+
+
+pytestmark = pytest.mark.fast

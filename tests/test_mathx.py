@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flightjax.ops import mathx
 
@@ -37,3 +38,6 @@ def test_mosaic_safe_patch_roundtrip():
         v = jnp.arctan2(jnp.asarray(1.0), jnp.asarray(1.0))
         assert abs(float(v) - np.pi / 4) < 1e-6
     assert jnp.arctan2 is orig
+
+
+pytestmark = pytest.mark.fast

@@ -10,6 +10,7 @@ import pytest
 from flightjax.demos import c172_demos as D
 
 
+@pytest.mark.fast
 def test_lows_pattern_geometry():
     """Leg endpoints chain and the final leg descends 3 deg to the runway."""
     from flightjax.models.c172 import c172x_gdc as GDC

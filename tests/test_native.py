@@ -10,9 +10,9 @@ import pytest
 from flightjax.io import native
 from flightjax.io import network as net
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.fast, pytest.mark.skipif(
     not native.available(),
-    reason=f"native core unavailable: {native.load_error()}")
+    reason=f"native core unavailable: {native.load_error()}")]
 
 
 def test_dref_byte_parity():

@@ -1,6 +1,7 @@
 """Packed-carry scan boundary: exact roundtrip and step equivalence."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from flightjax.core.sim import Simulation
@@ -18,6 +19,7 @@ def _batched_state():
     return sim, state
 
 
+@pytest.mark.fast
 def test_roundtrip_exact():
     _, state = _batched_state()
     spec, pack, unpack = make_packer(state)

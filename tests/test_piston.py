@@ -148,3 +148,6 @@ def test_thruster_coupling():
                                            s["engine"], 0.0, air)
     assert float(x_dot["engine"]["omega"]) < float(eng_dot_unloaded["omega"])
     assert float(y.propeller.wr_b.F[0]) > 500.0  # thrust
+
+
+pytestmark = pytest.mark.fast

@@ -1,12 +1,14 @@
 """Profiling utilities: step timing and HLO compile report."""
 
 import jax.numpy as jnp
+import pytest
 
 from flightjax.core.sim import Simulation
 from flightjax.models.robot2d import Robot
 from flightjax.utils.profiling import compile_report, step_timer
 
 
+@pytest.mark.fast
 def test_step_timer_and_compile_report():
     sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02)
     state = sim.init()

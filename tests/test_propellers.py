@@ -76,3 +76,6 @@ def test_variable_pitch_mapping():
     assert float(prop.get_dbeta({"pitch": jnp.asarray(0.0)})) == 0.0
     assert float(prop.get_dbeta({"pitch": jnp.asarray(1.0)})) == pytest.approx(0.3)
     assert float(prop.get_dbeta({"pitch": jnp.asarray(0.5)})) == pytest.approx(0.15)
+
+
+pytestmark = pytest.mark.fast

@@ -68,3 +68,6 @@ def test_batched():
     out = Q.qrot(q, v)
     assert out.shape == (5, 7, 3)
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), np.linalg.norm(v, axis=-1), rtol=1e-12)
+
+
+pytestmark = pytest.mark.fast

@@ -71,6 +71,7 @@ def repo_gains():
 
 
 @needs_ref
+@pytest.mark.fast
 def test_grid_axes_match_reference(repo_gains):
     """Both implementations design over the same (EAS, h) envelope:
     EAS 25..55 (7 pts), h 50..3050 (4 pts) (`c172x_design.jl:87-129`)."""
@@ -82,6 +83,7 @@ def test_grid_axes_match_reference(repo_gains):
 
 @needs_ref
 @pytest.mark.parametrize("ch", LQR_CHANNELS)
+@pytest.mark.fast
 def test_trim_values_match_reference(repo_gains, ch):
     """x_trim/u_trim/z_trim in the tables are the Julia trim solution at each
     design point, in design-model coordinates — the strongest available
@@ -96,6 +98,7 @@ def test_trim_values_match_reference(repo_gains, ch):
 
 @needs_ref
 @pytest.mark.parametrize("ch", LQR_CHANNELS)
+@pytest.mark.fast
 def test_lqr_gains_match_reference(repo_gains, ch):
     """CARE gains are a smooth function of (A, B, Q, R); agreement to 1e-2
     relative pins the linearized plant itself to the reference's."""
@@ -109,6 +112,7 @@ def test_lqr_gains_match_reference(repo_gains, ch):
 
 @needs_ref
 @pytest.mark.parametrize("ch", PID_CHANNELS)
+@pytest.mark.fast
 def test_pid_gains_compatible_with_reference(repo_gains, ch):
     """PID optimizers differ by design; assert structural parity only:
     same derivative filter, same sign, magnitudes within one decade."""

@@ -144,3 +144,6 @@ def test_robot_fleet_vmap(robot):
     st = run(st)
     np.testing.assert_allclose(np.asarray(st.x["vehicle"]["v"]),
                                np.asarray(v_refs), atol=1e-3)
+
+
+pytestmark = pytest.mark.fast

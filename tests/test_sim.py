@@ -284,3 +284,6 @@ def test_comp_predicate_selects_position_states():
         "['vehicle']['vehicle']['kinematics']['h_e']",
         "['vehicle']['vehicle']['kinematics']['q_ew']",
     }
+
+
+pytestmark = pytest.mark.fast
