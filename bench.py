@@ -101,14 +101,18 @@ def main():
               f"{exc}); plain scan", flush=True)
 
     if roll is None:
-        @jax.jit
+        # unroll=4 halves the per-iteration dispatch/ramp fixed cost and lets
+        # XLA fuse across step boundaries (285 vs 306 us/fleet-step measured,
+        # tools/exp_unroll_donate.py; unroll=8 spills and is 2.5x SLOWER);
+        # donating the carry saves the dispatch-boundary copy (~1% more)
         def roll_plain(st):
             def body(st, _):
                 return sim.fleet_step(st, ctx), None
-            st, _ = jax.lax.scan(body, st, None, length=steps_per_call)
+            st, _ = jax.lax.scan(body, st, None, length=steps_per_call,
+                                 unroll=4)
             return st
 
-        carry, roll = state, roll_plain
+        carry, roll = state, jax.jit(roll_plain, donate_argnums=(0,))
 
     carry = roll(carry)  # compile + warm up
     jax.block_until_ready(carry)

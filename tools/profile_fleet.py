@@ -34,7 +34,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 STEPS = 100
 
 
-def attribute(trace_dir, hlo_text, steps=STEPS, top=25):
+def attribute(trace_dir, hlo_text, steps=STEPS, top=25, unroll=1):
     """Join trace event durations with HLO source metadata. Returns
     (per_file, per_site, unmatched) Counters in us per step."""
     f = sorted(glob.glob(trace_dir + "/plugins/profile/*/*.trace.json.gz"))[-1]
@@ -58,7 +58,9 @@ def attribute(trace_dir, hlo_text, steps=STEPS, top=25):
     bysite = collections.Counter()
     un = collections.Counter()
     for name, d in dur.items():
-        if cnt[name] < steps // 2:      # only per-step kernels in the scan
+        # only kernels inside the scan body: an unrolled body executes each
+        # (distinct) kernel instance steps/unroll times
+        if cnt[name] < steps // unroll // 2:
             continue
         if name in src:
             fl, ln, shape = src[name]
@@ -72,6 +74,8 @@ def attribute(trace_dir, hlo_text, steps=STEPS, top=25):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="scan unroll factor (bench.py uses 4)")
     ap.add_argument("--trace-dir", default="/tmp/flightjax_trace")
     args = ap.parse_args()
 
@@ -84,7 +88,8 @@ def main():
     def roll(st):
         def body(st, _):
             return sim.fleet_step(st, ctx), None
-        st, _ = jax.lax.scan(body, st, None, length=STEPS)
+        st, _ = jax.lax.scan(body, st, None, length=STEPS,
+                             unroll=args.unroll)
         return st
 
     compiled = roll.lower(state).compile()
@@ -92,7 +97,8 @@ def main():
     with jax.profiler.trace(args.trace_dir):
         st = jax.block_until_ready(compiled(st))
 
-    byfile, bysite, un = attribute(args.trace_dir, compiled.as_text())
+    byfile, bysite, un = attribute(args.trace_dir, compiled.as_text(),
+                                   unroll=args.unroll)
     total = sum(byfile.values()) + sum(un.values())
     print(f"# per-step device time: {total:.1f} us  (batch {args.batch})")
     print("# -- by file (us/step) --")
