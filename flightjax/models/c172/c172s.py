@@ -283,13 +283,13 @@ def flagship_sim():
     from flightjax.core.sim import Simulation
 
     world = flagship_world("wa")
-    # geoid_every=64: the carried EGM96 undulation refreshes every 64th step
-    # via Simulation.fleet_step — at ~1.5 m of travel per 20 ms step the
-    # undulation moves micrometres between refreshes (slope <~1e-4 m/m, so
-    # ~100 m of travel changes N by <1 cm), while the refresh itself is the
-    # widest HBM read in the step (two [B,1441] row gathers, measured
-    # ~190 us per firing at batch 4096)
-    sim = Simulation(world, dt=0.02, periodic_dt=0.02, geoid_every=64)
+    # geoid_every=128: the carried EGM96 undulation refreshes every 128th
+    # step via Simulation.fleet_step — at ~1.5 m of travel per 20 ms step
+    # the undulation moves micrometres between refreshes (slope <~1e-4 m/m,
+    # so the ~190 m between refreshes changes N by <2 cm), while the
+    # refresh itself is the widest HBM read in the step (two [B,1441] row
+    # gathers, measured ~190 us per firing at batch 4096)
+    sim = Simulation(world, dt=0.02, periodic_dt=0.02, geoid_every=128)
 
     # trim on the host CPU (eager design-time work), then assemble the
     # aircraft/world-level SimState

@@ -32,14 +32,17 @@ def main():
     sim, state0, ctx = flagship_sim()
     print(f"# devices: {jax.devices()}", flush=True)
 
-    steps = 100
+    # bench conditions: unroll=4 (see bench.py); 400 steps keeps the
+    # dispatch long enough to amortize the tunnel round-trip
+    steps, unroll = 400, 4
+    print(f"# steps={steps} unroll={unroll}", flush=True)
 
     def make_roll():
         @jax.jit
         def roll(st):
             def body(st, _):
                 return sim.fleet_step(st, ctx), None
-            st, _ = jax.lax.scan(body, st, None, length=steps)
+            st, _ = jax.lax.scan(body, st, None, length=steps, unroll=unroll)
             return st
         return roll
 
