@@ -190,7 +190,8 @@ class Simulation:
     """
 
     def __init__(self, system, dt=0.02, periodic_dt=None, t_start=0.0,
-                 algorithm="rk4", geoid_every=1, compensate="auto"):
+                 algorithm="rk4", geoid_every=1, compensate="auto",
+                 gear_gate_margin=None):
         self.system = system
         self.dt = float(dt)
         self.periodic_dt = float(periodic_dt) if periodic_dt is not None else float(dt)
@@ -204,6 +205,13 @@ class Simulation:
         self._integ = _INTEGRATORS[algorithm]
         self._integ_incr = _INCREMENTS[algorithm]
         self.geoid_every = int(geoid_every)
+        # fleet-level gear gate: when set (metres), fleet_step skips the
+        # strut/contact math through a scalar lax.cond whenever EVERY lane
+        # is at least this far above the terrain (see
+        # physics.landinggear.gear_gated; measured 56 us/fleet-step at
+        # batch 4096). None (default) = exact per-step gear semantics.
+        self.gear_gate_margin = (None if gear_gate_margin is None
+                                 else float(gear_gate_margin))
         # "auto": attach Kahan residuals to the sub-f64 position states at
         # init() (see `default_comp_predicate`); False: never; or a custom
         # path predicate. States minted outside init() opt in by populating
@@ -296,16 +304,35 @@ class Simulation:
         `geoid_every` = K refreshes the carried undulation on every K-th
         step (default: the Simulation's `geoid_every`, itself default 1 =
         exact per-step semantics). All lanes share one step counter (true
-        for any fleet stepped together from a common start index)."""
+        for any fleet stepped together from a common start index).
+
+        When `gear_gate_margin` is set, the strut/contact math is likewise
+        hoisted behind a fleet-level scalar `lax.cond`: the gate is
+        `any(h_agl < margin)` over the CURRENT state, conservative because
+        no lane more than `margin` m above terrain can touch ground within
+        one dt (see `Vehicle.h_agl`, `landinggear.gear_gated`)."""
+        import contextlib
+
         from flightjax.parallel.megakernel import find_vehicle
         from flightjax.physics.aircraftbase import geoid_deferred
 
         K = self.geoid_every if geoid_every is None else int(geoid_every)
         vehicle = find_vehicle(self.system)
-        if vehicle is None or not getattr(vehicle, "geoid_in_step", False):
-            return jax.vmap(lambda st: self.step(st, ctx))(state)
 
-        with geoid_deferred():
+        gear_cm = contextlib.nullcontext()
+        if (self.gear_gate_margin is not None and vehicle is not None
+                and hasattr(vehicle, "h_agl")):
+            from flightjax.physics.landinggear import gear_gated
+            h = jax.vmap(vehicle.h_agl)(state.x["vehicle"],
+                                        state.u["vehicle"],
+                                        state.s["vehicle"])
+            gear_cm = gear_gated(jnp.any(h < self.gear_gate_margin))
+
+        if vehicle is None or not getattr(vehicle, "geoid_in_step", False):
+            with gear_cm:
+                return jax.vmap(lambda st: self.step(st, ctx))(state)
+
+        with gear_cm, geoid_deferred():
             new = jax.vmap(lambda st: self.step(st, ctx))(state)
 
         def refresh(operand):

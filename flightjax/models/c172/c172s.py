@@ -289,7 +289,13 @@ def flagship_sim():
     # so the ~190 m between refreshes changes N by <2 cm), while the
     # refresh itself is the widest HBM read in the step (two [B,1441] row
     # gathers, measured ~190 us per firing at batch 4096)
-    sim = Simulation(world, dt=0.02, periodic_dt=0.02, geoid_every=128)
+    # gear_gate_margin=10: with every lane >=10 m above terrain (wheels sit
+    # ~3 m below Ob; <2 m of state motion per 20 ms step) no leg can have
+    # weight on wheel, so fleet_step skips the strut/contact math behind a
+    # scalar lax.cond (measured 56 us/fleet-step at batch 4096,
+    # tools/exp_gearskip.py); ground/landing fleets take the full path
+    sim = Simulation(world, dt=0.02, periodic_dt=0.02, geoid_every=128,
+                     gear_gate_margin=10.0)
 
     # trim on the host CPU (eager design-time work), then assemble the
     # aircraft/world-level SimState

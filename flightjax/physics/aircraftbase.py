@@ -208,14 +208,29 @@ class Vehicle(Component):
     def refresh_geoid(self, x, s):
         """External once-per-step geoid refresh for geoid_in_step=False."""
         from flightjax.ops import geodesy as geo
+        return dict(s, geoid_N=geo.geoid_height(self._n_e(x)))
+
+    @staticmethod
+    def _n_e(x):
+        """Location n-vector from any mechanization's position states."""
+        from flightjax.ops import geodesy as geo
         xk = x["kinematics"]
         if "q_ew" in xk:       # WA mechanization
-            n_e = geo.nvector_from_qew(xk["q_ew"])
-        elif "q_eb" in xk:     # ECEF: n_e carried directly
-            n_e = xk["n_e"]
-        else:                  # NED: lat/lon states
-            n_e = geo.nvector_from_latlon(xk["lat"], xk["lon"])
-        return dict(s, geoid_N=geo.geoid_height(n_e))
+            return geo.nvector_from_qew(xk["q_ew"])
+        if "q_eb" in xk:       # ECEF: n_e carried directly
+            return xk["n_e"]
+        return geo.nvector_from_latlon(xk["lat"], xk["lon"])  # NED
+
+    def h_agl(self, x, u, s):
+        """Ellipsoidal height of the body origin above the terrain surface.
+        Used by `Simulation.fleet_step`'s gear gate: a lane with
+        h_agl >= margin cannot have weight on wheel this step (the wheels
+        sit a few metres below Ob; within one dt the state moves <~2 m), so
+        `any(h_agl < margin)` is a conservative scalar predicate for
+        skipping the strut/contact math fleet-wide."""
+        h_e = x["kinematics"]["h_e"]
+        trn = self.terrain.terrain_data(u["trn"], self._n_e(x))
+        return h_e - (trn.elevation + s["geoid_N"])
 
 
 class AircraftY(NamedTuple):

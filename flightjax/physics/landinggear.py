@@ -20,8 +20,11 @@ intermediate is NaN-guarded so the untaken path stays finite (and so
 `jax.jacobian` through an airborne vehicle stays clean).
 """
 
+import contextlib
+import contextvars
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +43,28 @@ E3 = np.array([0.0, 0.0, 1.0])
 # crash thresholds (`landinggear.jl:336-343`)
 ALPHA_TS_MAX = np.deg2rad(60.0)
 XI_DOT_MAX = 10.0
+
+# Trace-scoped fleet-level gear gate (same pattern as
+# `aircraftbase.geoid_deferred`): when set to a SCALAR boolean tracer,
+# `GearSet.f_ode/f_step` wrap the strut/contact math in a `lax.cond` on it —
+# True runs the full path, False the airborne branch (exact wow=false
+# defaults). The predicate must be conservative: True whenever ANY lane
+# could have weight on wheel this step. `Simulation.fleet_step` computes it
+# as `any(h_agl < margin)`, a scalar under vmap, so the cond genuinely skips
+# the gear math at runtime when the whole fleet is airborne (measured 56
+# us/fleet-step at batch 4096 — tools/exp_gearskip.py).
+_gear_gate = contextvars.ContextVar("flightjax_gear_gate", default=None)
+
+
+@contextlib.contextmanager
+def gear_gated(active):
+    """Scope in which GearSet evaluation is `lax.cond`-gated on the scalar
+    `active` (True = full strut/contact math must run)."""
+    token = _gear_gate.set(active)
+    try:
+        yield
+    finally:
+        _gear_gate.reset(token)
 
 
 class SimpleDamper(NamedTuple):
@@ -392,7 +417,21 @@ class GearSet:
 
     def f_ode(self, x, u, t, kin: KinData, trn: TerrainData):
         """x: {'frc': (n,2)}; u: {'steering': (n,), 'braking': (n,)}.
-        Returns ({'frc': (n,2)}, GearUnitY with (n,)-leading leaves)."""
+        Returns ({'frc': (n,2)}, GearUnitY with (n,)-leading leaves).
+
+        Under an active `gear_gated` scope, dispatches through a scalar
+        `lax.cond` — the airborne branch is exact for everything dynamics
+        ever consumes (see `f_ode_airborne`)."""
+        gate = _gear_gate.get()
+        if gate is None:
+            return self._f_ode_full(x, u, t, kin, trn)
+        return jax.lax.cond(
+            gate,
+            lambda op: self._f_ode_full(*op),
+            lambda op: self.f_ode_airborne(*op),
+            (x, u, t, kin, trn))
+
+    def _f_ode_full(self, x, u, t, kin: KinData, trn: TerrainData):
         xd, y = self._vmapped(
             lambda unit, xu, kin, trn: unit.f_ode(
                 {"frc": xu[:2]}, {"steering": xu[2], "braking": xu[3]},
@@ -403,7 +442,70 @@ class GearSet:
             kin, trn)
         return {"frc": xd["frc"]}, y
 
+    def f_ode_airborne(self, x, u, t, kin: KinData, trn: TerrainData):
+        """The wow=false evaluation, computed directly instead of by masking
+        the full strut/contact math. Exactly reproduces `_f_ode_full` for
+        every output that feeds back into the dynamics or discrete state
+        when no leg has weight on wheel:
+
+        - frc regulator: `pi_ode` with the same zero input the full path's
+          `sel(v_ec_xy, 0)` mask produces — identical x_dot and PIOutput;
+        - contact wrench: the full path masks it to exact 0.0;
+        - crashed: False (wow false, xi_dot masked to 0);
+        - every other StrutY/ContactY field: the same masked defaults.
+
+        The ONLY approximated field is the logged diagnostic `delta_h`
+        (wheel clearance): the wheel-endpoint height is taken along the
+        local geodetic down axis instead of a second Fukushima
+        Cartesian->geodetic solve per leg; the curvature error over the
+        ~3 m lever arm is <1e-6 m. It never gates anything while the fleet
+        predicate keeps this branch airborne-only."""
+        n = self.n
+        frc_dot, frc_out = C.pi_ode(self.unit.frc, x["frc"],
+                                    jnp.zeros_like(x["frc"]))
+        strut = self.strut_y_airborne(kin, trn)
+        z = jnp.zeros(n, strut.delta_h.dtype)
+        z2 = jnp.zeros((n, 2), z.dtype)
+        z3 = jnp.zeros((n, 3), z.dtype)
+        contact = ContactY(mu_roll=z, mu_skid=z, kappa_br=z, psi_cv=z,
+                           mu_max=z2, mu_eff=z2, f_c=z3, F_c=z3,
+                           wr_b=Wrench(F=z3, tau=z3), frc=frc_out)
+        y = GearUnitY(strut=strut, contact=contact,
+                      crashed=jnp.zeros(n, bool))
+        return {"frc": frc_dot}, y
+
+    def strut_y_airborne(self, kin: KinData, trn: TerrainData) -> StrutY:
+        """Airborne StrutY: the wow=false masked defaults plus the
+        cheap-local-frame `delta_h` (see `f_ode_airborne`)."""
+        n = self.n
+        down_e = qrot(kin.q_en, jnp.asarray(E3, kin.h_e.dtype))
+        r_bs_e = qrot(kin.q_eb, jnp.asarray(self.unit.r_bs, kin.h_e.dtype))
+        h_w0 = kin.h_e - jnp.sum(r_bs_e * down_e, axis=-1)       # (n,)
+        delta_h = h_w0 - (trn.elevation + (kin.h_e - kin.h_o))
+
+        dt_ = delta_h.dtype
+        z = jnp.zeros(n, dt_)
+        z2, z3 = jnp.zeros((n, 2), dt_), jnp.zeros((n, 3), dt_)
+        qid = jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0], dt_), (n, 4))
+        bc = lambda leaf: jnp.broadcast_to(jnp.asarray(leaf),
+                                           (n,) + jnp.shape(leaf))
+        return StrutY(delta_h=delta_h, wow=jnp.zeros(n, bool),
+                      xi=z, xi_dot=z, F_dmp_zs=z, psi_sw=z, alpha_ts=z,
+                      r_sc_s=z3, q_sc=qid, r_bc_b=z3, q_bc=qid,
+                      v_ec_xy=z2, trn=jax.tree.map(bc, trn))
+
     def f_step(self, x, u, t, kin: KinData, trn: TerrainData):
+        gate = _gear_gate.get()
+        if gate is None:
+            return self._f_step_full(x, u, t, kin, trn)
+        return jax.lax.cond(
+            gate,
+            lambda op: self._f_step_full(*op),
+            # airborne: the full path computes `where(wow, frc, 0)` = 0
+            lambda op: {"frc": jnp.zeros_like(op[0]["frc"])},
+            (x, u, t, kin, trn))
+
+    def _f_step_full(self, x, u, t, kin: KinData, trn: TerrainData):
         xs, _ = self._vmapped(
             lambda unit, xu, kin, trn: unit.f_step(
                 {"frc": xu[:2]}, {"steering": xu[2], "braking": xu[3]},
@@ -415,6 +517,16 @@ class GearSet:
         return {"frc": xs["frc"]}
 
     def strut_y(self, x, u, t, kin: KinData, trn: TerrainData) -> StrutY:
+        gate = _gear_gate.get()
+        if gate is None:
+            return self._strut_y_full(x, u, t, kin, trn)
+        return jax.lax.cond(
+            gate,
+            lambda op: self._strut_y_full(*op),
+            lambda op: self.strut_y_airborne(op[3], op[4]),
+            (x, u, t, kin, trn))
+
+    def _strut_y_full(self, x, u, t, kin: KinData, trn: TerrainData):
         return self._vmapped(
             lambda unit, xu, kin, trn: unit.strut_y(
                 {"steering": xu[2], "braking": xu[3]}, kin, trn),

@@ -1,0 +1,113 @@
+"""Fleet-level gear gate (`landinggear.gear_gated` + `Simulation
+gear_gate_margin`): when every lane is at least `margin` m above terrain,
+`fleet_step` skips the strut/contact math behind a scalar `lax.cond`.
+
+Contract: the gated step's NEXT STATE is bit-identical to the ungated
+step — the airborne branch reproduces every wow=false output exactly
+(zero wrench, pi_ode at the same zero input, crashed=False, frc reset);
+only the logged `delta_h` diagnostic is approximated (<1e-5 m), and
+fleet_step never materializes y.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flightjax.core.sim import Simulation
+from flightjax.models.c172 import flagship_sim
+
+
+@pytest.fixture(scope="module")
+def rig():
+    sim, state0, ctx = flagship_sim()
+    assert sim.gear_gate_margin is not None  # flagship opts in
+    B = 2
+    state = jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (B,) + jnp.shape(l)), state0)
+    return sim, state, ctx
+
+
+def _roll(fn, state, n):
+    def body(st, _):
+        return fn(st), None
+    return jax.lax.scan(body, state, None, length=n)[0]
+
+
+def _max_err(a, b):
+    return max(jax.tree.leaves(jax.tree.map(
+        lambda x, y: float(jnp.max(jnp.abs(
+            x.astype(jnp.float64) - y.astype(jnp.float64)))), a, b)))
+
+
+def _sim_with_margin(sim, margin):
+    s2 = Simulation(sim.system, dt=sim.dt, periodic_dt=sim.periodic_dt,
+                    geoid_every=sim.geoid_every, compensate=sim.compensate,
+                    gear_gate_margin=margin)
+    return s2
+
+
+def test_airborne_gate_bit_exact(rig):
+    """Trimmed cruise: gate False -> airborne branch; 8-step roll must be
+    bit-identical to the ungated fleet step."""
+    sim, state, ctx = rig
+    ungated = _sim_with_margin(sim, None)
+    ref = jax.jit(lambda s: _roll(
+        lambda st: ungated.fleet_step(st, ctx), s, 8))(state)
+    got = jax.jit(lambda s: _roll(
+        lambda st: sim.fleet_step(st, ctx), s, 8))(state)
+    assert _max_err(got, ref) == 0.0
+
+
+def test_forced_full_path_bit_exact(rig):
+    """margin = +inf forces the gate True every step (the full branch);
+    must equal the ungated step bit-for-bit."""
+    sim, state, ctx = rig
+    ungated = _sim_with_margin(sim, None)
+    forced = _sim_with_margin(sim, 1e9)
+    ref = jax.jit(lambda s: _roll(
+        lambda st: ungated.fleet_step(st, ctx), s, 8))(state)
+    got = jax.jit(lambda s: _roll(
+        lambda st: forced.fleet_step(st, ctx), s, 8))(state)
+    assert _max_err(got, ref) == 0.0
+
+
+@pytest.mark.fast
+def test_h_agl_and_gate_predicate(rig):
+    sim, state, ctx = rig
+    from flightjax.parallel.megakernel import find_vehicle
+    vehicle = find_vehicle(sim.system)
+    h = jax.vmap(vehicle.h_agl)(state.x["vehicle"], state.u["vehicle"],
+                                state.s["vehicle"])
+    # default trim point is well above the default LOWS-like terrain
+    assert np.all(np.asarray(h) > 100.0)
+    # consistency: h_agl == h_e - (elevation + geoid_N)
+    h_e = np.asarray(state.x["vehicle"]["kinematics"]["h_e"])
+    N = np.asarray(state.s["vehicle"]["geoid_N"])
+    elev = float(np.asarray(
+        vehicle.terrain.terrain_data(None).elevation))
+    np.testing.assert_allclose(np.asarray(h), h_e - (elev + N), rtol=1e-12)
+
+
+def test_airborne_delta_h_approx(rig):
+    """The airborne branch's wheel-clearance diagnostic matches the full
+    Fukushima-exact geometry to <1e-5 m at the trim state."""
+    sim, state, ctx = rig
+    from flightjax.parallel.megakernel import find_vehicle
+    vehicle = find_vehicle(sim.system)
+    ldg = vehicle.systems.ldg
+    one = jax.tree.map(lambda l: l[0], state)
+
+    x_v, u_v, s_v = one.x["vehicle"], one.u["vehicle"], one.s["vehicle"]
+    kin_dot, kin = vehicle.kinematics.f_ode(
+        x_v["kinematics"], x_v["dynamics"], s_v["geoid_N"], one.t)
+    trn = vehicle.terrain.terrain_data(u_v["trn"], kin.n_e)
+
+    act_y, asg, _ = vehicle.systems.act.f_ode(x_v["systems"],
+                                              u_v["systems"]["act"], one.t)
+    gear_u = vehicle.systems._gear_inputs(asg)
+    full = ldg._strut_y_full(x_v["systems"]["ldg"], gear_u, one.t, kin, trn)
+    air = ldg.strut_y_airborne(kin, trn)
+    np.testing.assert_allclose(np.asarray(air.delta_h),
+                               np.asarray(full.delta_h), atol=1e-5)
+    assert not np.any(np.asarray(full.wow))
