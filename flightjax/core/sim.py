@@ -335,15 +335,19 @@ class Simulation:
         with gear_cm, geoid_deferred():
             new = jax.vmap(lambda st: self.step(st, ctx))(state)
 
+        # narrow cond operands to the position states + the undulation
+        # vector itself: threading the whole (x, s) through the cond made
+        # the identity branch copy the entire fleet state every step
+        # (measured 7.6 us/step at batch 4096)
         def refresh(operand):
-            x, s = operand
-            s_veh = jax.vmap(vehicle.refresh_geoid)(x["vehicle"],
-                                                    s["vehicle"])
-            return dict(s, vehicle=s_veh)
+            xk, _ = operand
+            return jax.vmap(vehicle.geoid_N_from_kin)(xk)
 
         i0 = new.i.reshape(-1)[0]
-        s2 = jax.lax.cond((i0 % K) == 0, refresh, lambda op: op[1],
-                          (new.x, new.s))
+        s_veh = new.s["vehicle"]
+        N = jax.lax.cond((i0 % K) == 0, refresh, lambda op: op[1],
+                         (new.x["vehicle"]["kinematics"], s_veh["geoid_N"]))
+        s2 = dict(new.s, vehicle=dict(s_veh, geoid_N=N))
         return new._replace(s=s2)
 
     def output(self, state: SimState, ctx=()):

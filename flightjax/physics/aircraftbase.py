@@ -207,8 +207,13 @@ class Vehicle(Component):
 
     def refresh_geoid(self, x, s):
         """External once-per-step geoid refresh for geoid_in_step=False."""
+        return dict(s, geoid_N=self.geoid_N_from_kin(x["kinematics"]))
+
+    def geoid_N_from_kin(self, xk):
+        """EGM96 undulation at the location encoded in the kinematics
+        position states (any mechanization)."""
         from flightjax.ops import geodesy as geo
-        return dict(s, geoid_N=geo.geoid_height(self._n_e(x)))
+        return geo.geoid_height(self._n_e({"kinematics": xk}))
 
     @staticmethod
     def _n_e(x):
