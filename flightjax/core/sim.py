@@ -216,7 +216,9 @@ class Simulation:
         # init() (see `default_comp_predicate`); False: never; or a custom
         # path predicate. States minted outside init() opt in by populating
         # SimState.c themselves (e.g. via `comp_residuals`).
-        self.compensate = compensate
+        # True is the natural boolean spelling of "auto" (a bare True would
+        # otherwise be treated as a path predicate and crash on call).
+        self.compensate = "auto" if compensate is True else compensate
         # jitted-executable cache for run(): closures defined inside run()
         # would be new function objects every call, so each run() would
         # re-trace and re-compile the whole scan (55 s of "warm" time for a

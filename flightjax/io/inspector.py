@@ -111,6 +111,9 @@ class Inspector:
                 and hasattr(data[0], "t")):
             snapshot, y = data
             return self.frame(y, t=snapshot.t)
+        if (isinstance(data, (list, tuple)) and data
+                and all(isinstance(w, dict) and "kind" in w for w in data)):
+            return list(data)  # already a widget frame
         return self.frame(data)
 
 

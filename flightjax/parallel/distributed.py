@@ -67,8 +67,13 @@ def process_local_lanes(global_state):
     """The lanes of a globally-sharded fleet state owned by THIS process,
     as host numpy (for per-host IO: logging, X-Plane bridges, checkpoints)."""
     def local(leaf):
-        shards = [s.data for s in leaf.addressable_shards]
-        return np.concatenate([np.asarray(s) for s in shards], axis=0) \
+        # sort by global lane index: addressable_shards enumerates in device
+        # order, which need not follow ascending lane index on a reordered
+        # mesh — unsorted concatenation would silently attribute IO to the
+        # wrong vehicles
+        shards = sorted(leaf.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0) \
             if shards else np.asarray(leaf)
 
     return jax.tree.map(local, global_state)

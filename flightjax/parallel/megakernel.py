@@ -56,10 +56,15 @@ def make_megakernel_step(sim, state, ctx=(), block=512, interpret=False):
     # inside the kernel, run RK4 as a fori_loop so the f_ode body appears
     # once in the jaxpr (bit-identical; ~4x fewer ops for Mosaic to compile)
     import copy
-    from flightjax.core.sim import rk4_step, rk4_step_loop
+    from flightjax.core.sim import (rk4_incr, rk4_loop_incr, rk4_step,
+                                    rk4_step_loop)
     sim = copy.copy(sim)
     if sim._integ is rk4_step:
         sim._integ = rk4_step_loop
+    # compensated states (SimState.c attached) take the _integ_incr path —
+    # swap it too or the kernel would inline f_ode 4x again
+    if sim._integ_incr is rk4_incr:
+        sim._integ_incr = rk4_loop_incr
 
     # block-shaped template and its packer (same column layout, fewer rows)
     state_blk = jax.tree.map(lambda l: l[:block], state)

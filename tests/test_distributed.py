@@ -139,4 +139,24 @@ def test_two_process_dcn_rollout(single_process_truth):
     np.testing.assert_allclose(got_v, truth["v"], rtol=1e-12)
 
 
+def test_process_local_lanes_reordered_mesh():
+    """Shard assembly must sort by global lane index, not device
+    enumeration order: a mesh built from a REVERSED device list used to
+    interleave lanes (per-host IO attributed to the wrong vehicles)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from flightjax.parallel import distributed
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = Mesh(np.array(devs[::-1]), ("dp",))
+    lanes = jnp.arange(len(devs) * 2, dtype=jnp.float32)
+    sharded = jax.device_put(lanes, NamedSharding(mesh, P("dp")))
+    got = distributed.process_local_lanes({"v": sharded})["v"]
+    np.testing.assert_array_equal(got, np.asarray(lanes))
+
+
 pytestmark = pytest.mark.fast

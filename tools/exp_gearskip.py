@@ -21,46 +21,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 def airborne_versions():
-    from flightjax.physics import control as C
-    from flightjax.physics.landinggear import (ContactY, GearSet, GearUnitY,
-                                               StrutY)
-    from flightjax.ops.quaternions import qrot
-
-    E3 = jnp.asarray([0.0, 0.0, 1.0])
+    """The shipped airborne branches (landinggear.GearSet), bound as
+    unconditional replacements — measures the ceiling without the cond."""
+    from flightjax.physics.landinggear import GearSet
 
     def f_ode_airborne(self, x, u, t, kin, trn):
-        n = self.n
-        frc_dot, frc_out = C.pi_ode(self.unit.frc, x["frc"],
-                                    jnp.zeros_like(x["frc"]))
-        # wheel-endpoint height via the local geodetic down axis: curvature
-        # error over the ~3 m lever arm is <1e-6 m (only logged, never fed
-        # back into dynamics while airborne)
-        down_e = qrot(kin.q_en, E3)
-        r_bs_e = qrot(kin.q_eb, jnp.asarray(self.unit.r_bs))   # (n, 3)
-        h_w0 = kin.h_e - jnp.sum(r_bs_e * down_e, axis=-1)     # (n,)
-        delta_h = h_w0 - (trn.elevation + (kin.h_e - kin.h_o))
-
-        z = jnp.zeros(n)
-        z2, z3 = jnp.zeros((n, 2)), jnp.zeros((n, 3))
-        qid = jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (n, 4))
-        bc = lambda leaf: jnp.broadcast_to(jnp.asarray(leaf),
-                                           (n,) + jnp.shape(leaf))
-        strut = StrutY(delta_h=delta_h, wow=jnp.zeros(n, bool),
-                       xi=z, xi_dot=z, F_dmp_zs=z, psi_sw=z, alpha_ts=z,
-                       r_sc_s=z3, q_sc=qid, r_bc_b=z3, q_bc=qid, v_ec_xy=z2,
-                       trn=jax.tree.map(bc, trn))
-        from flightjax.physics.dynamics import Wrench
-        contact = ContactY(mu_roll=z, mu_skid=z, kappa_br=z, psi_cv=z,
-                           mu_max=z2, mu_eff=z2, f_c=z3, F_c=z3,
-                           wr_b=Wrench(F=z3, tau=z3), frc=frc_out)
-        y = GearUnitY(strut=strut, contact=contact,
-                      crashed=jnp.zeros(n, bool))
-        return {"frc": frc_dot}, y
+        return GearSet.f_ode_airborne(self, x, u, t, kin, trn)
 
     def f_step_airborne(self, x, u, t, kin, trn):
         return {"frc": jnp.zeros_like(x["frc"])}
 
-    return f_ode_airborne, f_step_airborne
+    def strut_y_airborne(self, x, u, t, kin, trn):
+        return GearSet.strut_y_airborne(self, kin, trn)
+
+    return f_ode_airborne, f_step_airborne, strut_y_airborne
 
 
 def main():
@@ -97,9 +71,10 @@ def main():
         return dt
 
     base = timed("stock")
-    f_ode_air, f_step_air = airborne_versions()
+    f_ode_air, f_step_air, strut_y_air = airborne_versions()
     GearSet.f_ode = f_ode_air
     GearSet.f_step = f_step_air
+    GearSet.strut_y = strut_y_air
     skip = timed("gear-skipped")
     print(f"ceiling: {(base - skip)*1e6:.1f} us/step "
           f"({(base/skip - 1)*100:.1f}% throughput)")
