@@ -46,14 +46,51 @@ def attribute(trace_dir, hlo_text, steps=STEPS, top=25, unroll=1):
             dur[e["name"]] += e["dur"]
             cnt[e["name"]] += 1
     src = {}
+    comp_files = {}          # computation name -> Counter(file:line)
+    comp = None
+    fusion_calls = {}        # fusion instruction name -> called computation
     for line in hlo_text.split("\n"):
-        m = re.search(r"%([\w.\-]+) = (\S+?) ([\w-]+)\(", line)
+        mc = re.match(r"%?([\w.\-]+) \([\w.,: \[\]{}/#()-]*\) -> ", line)
+        if mc:                       # computation header
+            comp = mc.group(1)
+            comp_files[comp] = collections.Counter()
+        # the result type of a multi-output fusion is a tuple containing
+        # spaces and layout annotations with parens — "(f32[4096]{0:T(8,
+        # 128)}, ...)" — so anchor on the (lowercase) opcode token instead
+        # of trying to parse the type
+        m = re.search(r"%([\w.\-]+) = (.*?) ([a-z][\w-]*)\(", line)
         if not m:
             continue
         name, shape = m.group(1), m.group(2).split("{")[0]
+        if len(shape) > 28:
+            shape = shape[:25] + "..."
         mm = re.search(r'source_file="([^"]+)" source_line=(\d+)', line)
+        if mm and comp is not None:
+            comp_files[comp][(mm.group(1).split("repo/")[-1],
+                              mm.group(2))] += 1
+        mcall = re.search(r"calls=%?([\w.\-]+)", line)
+        if mcall:
+            fusion_calls[name] = mcall.group(1)
         src[name] = ((mm.group(1).split("repo/")[-1] if mm else "?"),
                      (mm.group(2) if mm else "?"), shape)
+
+    def resolve(name):
+        """Attribution for a trace kernel name: direct, suffix-stripped, or
+        through its fused computation's dominant per-op source site."""
+        for cand in (name, re.sub(r"\.(clone|remat)[\d.]*$", "", name)):
+            if cand in src and src[cand][0] != "?":
+                return src[cand]
+            called = fusion_calls.get(cand)
+            if called is None and cand.startswith("fusion"):
+                called = "fused_computation" + cand[len("fusion"):]
+            if called in comp_files and comp_files[called]:
+                (fl, ln), _ = comp_files[called].most_common(1)[0]
+                shape = src[cand][2] if cand in src else "?"
+                return (fl, ln, shape)
+            if cand in src:
+                return src[cand]
+        return None
+
     byfile = collections.Counter()
     bysite = collections.Counter()
     un = collections.Counter()
@@ -62,8 +99,9 @@ def attribute(trace_dir, hlo_text, steps=STEPS, top=25, unroll=1):
         # (distinct) kernel instance steps/unroll times
         if cnt[name] < steps // unroll // 2:
             continue
-        if name in src:
-            fl, ln, shape = src[name]
+        hit = resolve(name)
+        if hit is not None:
+            fl, ln, shape = hit
             byfile[fl] += d / steps
             bysite[(fl, ln, shape)] += d / steps
         else:
