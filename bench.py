@@ -44,8 +44,11 @@ def main():
 
     # long scans amortize the per-dispatch host round-trip (the chip may sit
     # behind a network tunnel); scan trip count doesn't grow the HLO, so
-    # compile cost is unchanged vs short dispatches
-    steps_per_call = 1000
+    # compile cost is unchanged vs short dispatches. Measured on the v5e:
+    # 200-step dispatches lose ~10%, 1000-step ~3 us/step of tunnel
+    # overhead remains, 4000-step is ~flat beyond (tools/exp_dispatch
+    # sweep: 234.9 -> 225.3 us/fleet-step at unroll=4)
+    steps_per_call = 4000
 
     # Preferred path: the step as a handful of Pallas cluster kernels (the
     # plain path lowers to O(100) small fusions and is launch-latency-bound
