@@ -46,7 +46,7 @@ def main():
     # behind a network tunnel); scan trip count doesn't grow the HLO, so
     # compile cost is unchanged vs short dispatches. Measured on the v5e:
     # 200-step dispatches lose ~10%, 1000-step ~3 us/step of tunnel
-    # overhead remains, 4000-step is ~flat beyond (tools/exp_dispatch
+    # overhead remains, 4000-step is ~flat beyond (tools/exp_dispatch.py
     # sweep: 234.9 -> 225.3 us/fleet-step at unroll=4)
     steps_per_call = 4000
 

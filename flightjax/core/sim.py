@@ -202,6 +202,7 @@ class Simulation:
             raise ValueError(
                 f"periodic_dt ({self.periodic_dt}) must be a positive integer "
                 f"multiple of dt ({self.dt})")
+        self.algorithm = algorithm
         self._integ = _INTEGRATORS[algorithm]
         self._integ_incr = _INCREMENTS[algorithm]
         self.geoid_every = int(geoid_every)
@@ -229,6 +230,20 @@ class Simulation:
         # analog of the reference's `mdl.Δt`, `modeling.jl:181-182`), so
         # discrete sub-updates can read their step size
         self.system.periodic_dt = self.periodic_dt
+
+    def replace(self, **overrides):
+        """A fresh Simulation over the same system with some settings
+        changed (e.g. `sim.replace(gear_gate_margin=None)` for
+        ground-heavy fleets). Carries EVERY constructor setting the
+        original had — hand-rolled reconstruction silently dropped
+        t_start/algorithm."""
+        kw = dict(system=self.system, dt=self.dt,
+                  periodic_dt=self.periodic_dt, t_start=self.t_start,
+                  algorithm=self.algorithm, geoid_every=self.geoid_every,
+                  compensate=self.compensate,
+                  gear_gate_margin=self.gear_gate_margin)
+        kw.update(overrides)
+        return Simulation(**kw)
 
     # ------------------------------------------------------------------ init
 

@@ -14,7 +14,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from flightjax.core.sim import Simulation
 from flightjax.models.c172 import flagship_sim
 
 
@@ -41,10 +40,7 @@ def _max_err(a, b):
 
 
 def _sim_with_margin(sim, margin):
-    s2 = Simulation(sim.system, dt=sim.dt, periodic_dt=sim.periodic_dt,
-                    geoid_every=sim.geoid_every, compensate=sim.compensate,
-                    gear_gate_margin=margin)
-    return s2
+    return sim.replace(gear_gate_margin=margin)
 
 
 def test_airborne_gate_bit_exact(rig):

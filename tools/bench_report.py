@@ -142,7 +142,6 @@ def bench_trim_linearize():
 
 
 def bench_monte_carlo_fleet(batch=4096, t_end=600.0):
-    from flightjax.core.sim import Simulation
     from flightjax.models.c172 import flagship_sim
     from flightjax.parallel import fleet
 
@@ -151,9 +150,7 @@ def bench_monte_carlo_fleet(batch=4096, t_end=600.0):
     # the airborne gear gate never gets to skip — but its conds still pay
     # their fusion-boundary cost (12.1M vs 14.9M steps/s measured). Turn
     # it off for this ground-heavy workload (docs/notes/performance.md).
-    sim = Simulation(sim.system, dt=sim.dt, periodic_dt=sim.periodic_dt,
-                     geoid_every=sim.geoid_every, compensate=sim.compensate,
-                     gear_gate_margin=None)
+    sim = sim.replace(gear_gate_margin=None)
     st = fleet.broadcast_state(state0, batch)
     st = fleet.monte_carlo_c172(st, jax.random.PRNGKey(0))
     n_steps = int(round(t_end / sim.dt))

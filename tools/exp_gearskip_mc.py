@@ -16,7 +16,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", os.path.join(
@@ -25,7 +24,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 def main():
-    from flightjax.core.sim import Simulation
     from flightjax.models.c172 import flagship_sim
     from flightjax.parallel import fleet
 
@@ -35,9 +33,7 @@ def main():
     n = 30000
 
     def run(tag, margin, unroll=1):
-        s2 = Simulation(sim.system, dt=sim.dt, periodic_dt=sim.periodic_dt,
-                        geoid_every=sim.geoid_every,
-                        compensate=sim.compensate, gear_gate_margin=margin)
+        s2 = sim.replace(gear_gate_margin=margin)
         t0 = time.time()
         out = jax.block_until_ready(
             fleet.fleet_rollout(s2, st, n, ctx, unroll=unroll))

@@ -50,8 +50,9 @@ def attribute(trace_dir, hlo_text, steps=STEPS, top=25, unroll=1):
     comp = None
     fusion_calls = {}        # fusion instruction name -> called computation
     for line in hlo_text.split("\n"):
-        mc = re.match(r"%?([\w.\-]+) \([\w.,: \[\]{}/#()-]*\) -> ", line)
-        if mc:                       # computation header
+        mc = re.match(r"(?:ENTRY )?%?([\w.\-]+) \([\w.,: \[\]{}/#()-]*\) -> ",
+                      line)
+        if mc:                       # computation header (incl. ENTRY)
             comp = mc.group(1)
             comp_files[comp] = collections.Counter()
         # the result type of a multi-output fusion is a tuple containing
@@ -76,8 +77,10 @@ def attribute(trace_dir, hlo_text, steps=STEPS, top=25, unroll=1):
 
     def resolve(name):
         """Attribution for a trace kernel name: direct, suffix-stripped, or
-        through its fused computation's dominant per-op source site."""
-        for cand in (name, re.sub(r"\.(clone|remat)[\d.]*$", "", name)):
+        through its fused computation's dominant per-op source site; falls
+        back to a '?'-file src entry only after all real candidates fail."""
+        cands = (name, re.sub(r"\.(clone|remat)[\d.]*$", "", name))
+        for cand in cands:
             if cand in src and src[cand][0] != "?":
                 return src[cand]
             called = fusion_calls.get(cand)
@@ -87,6 +90,7 @@ def attribute(trace_dir, hlo_text, steps=STEPS, top=25, unroll=1):
                 (fl, ln), _ = comp_files[called].most_common(1)[0]
                 shape = src[cand][2] if cand in src else "?"
                 return (fl, ln, shape)
+        for cand in cands:
             if cand in src:
                 return src[cand]
         return None
