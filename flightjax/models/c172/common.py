@@ -25,7 +25,7 @@ from flightjax.core.modeling import Component, bwhere
 from flightjax.ops.interp import Lookup
 from flightjax.ops import geodesy as geo
 from flightjax.ops import attitude as att
-from flightjax.ops.quaternions import qrot, qrot_inv
+from flightjax.ops.quaternions import qrot, qrot_inv, rot2_y
 from flightjax.physics import atmosphere as atm
 from flightjax.physics.aircraftbase import theta_constraint
 from flightjax.physics.dynamics import (FrameTransform, Wrench, MassProps,
@@ -243,10 +243,20 @@ class Aero(Component):
                                  df, alpha_dot_nd, beta_dot_nd, dh_nd,
                                  s["stall"])
 
-        q_as = atm.get_stability_axes(alpha)
+        # Stability→airframe rotation R_y(-alpha) using the ALGEBRAIC
+        # cos/sin of alpha (= v_x, v_z of v_safe over their hypot): no
+        # trig, no quaternion — replaces get_stability_axes(alpha) + qrot
+        # on the hot path. v_safe = [1,0,0] when gated, so ca,sa stay
+        # consistent with the gated alpha above.
+        vx, vz = v_safe[..., 0], v_safe[..., 2]
+        m2 = vx * vx + vz * vz
+        minv = jax.lax.rsqrt(jnp.maximum(m2, 1e-30))
+        okm = m2 > 0
+        ca = jnp.where(okm, vx * minv, 1.0)
+        sa = jnp.where(okm, vz * minv, 0.0)
         qS = air.q * self.S
         F_s = qS * jnp.stack([-coeffs.C_D, coeffs.C_Y, -coeffs.C_L], axis=-1)
-        F_a = qrot(q_as, F_s)
+        F_a = rot2_y(ca, -sa, F_s)  # = qrot(get_stability_axes(alpha), F_s)
         tau_a = qS * jnp.stack([coeffs.C_l * self.b, coeffs.C_m * self.c,
                                 coeffs.C_n * self.b], axis=-1)
         wr_b = Wrench(F=F_a, tau=tau_a)  # f_ba = identity (`c172.jl:204`)

@@ -121,6 +121,27 @@ def quat_to_rvec(q):
     return axis * angle[..., None]
 
 
+def half_angle_cs(c, s):
+    """(cos(psi/2), sin(psi/2)) from (cos psi, sin psi), psi ∈ (-pi, pi],
+    via half-angle square roots — NO transcendentals. Replaces the
+    atan2(s, c) → cos/sin(psi/2) chain on TPU hot paths (rot_z of a wander
+    angle recovered from quaternion components).
+
+    Branch-free and AD-safe: both `where` branches stay finite (sqrt
+    arguments clamped away from 0 so reverse-mode grads cannot produce
+    inf·0 at the branch points). At (c, s) = (-1, 0) returns (0, +1),
+    matching atan2's psi = +pi convention."""
+    cpos = c >= 0
+    # cos(psi/2) = sqrt((1+c)/2) is well-conditioned for c >= 0;
+    # |sin(psi/2)| = sqrt((1-c)/2) for c < 0. The 1e-30 floors only bind in
+    # the branch `where` discards.
+    a1 = jnp.sqrt(jnp.maximum((1.0 + c) * 0.5, 1e-30))
+    a2 = jnp.sqrt(jnp.maximum((1.0 - c) * 0.5, 1e-30))
+    c2 = jnp.where(cpos, a1, jnp.abs(s) / (2.0 * a2))
+    s2 = jnp.where(cpos, s / (2.0 * a1), jnp.where(s < 0, -a2, a2))
+    return c2, s2
+
+
 def rot_x(phi):
     """Quaternion for rotation about body X by phi."""
     phi = jnp.asarray(phi)

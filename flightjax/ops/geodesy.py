@@ -91,14 +91,23 @@ def ltf(n_e, psi_nw=0.0):
     return qmul(rot_z(lon), qmul(rot_y(-(lat + 0.5 * jnp.pi)), rot_z(psi_nw)))
 
 
-def get_psi_nw(q_ew):
-    """Wander angle from ECEF→wander-azimuth quaternion (`geodesy.jl:140-147`)."""
+def get_psi_nw_ab(q_ew):
+    """(A, B) with the wander angle psi_nw = atan2(A, B)
+    (`geodesy.jl:140-147`). Exposed separately so hot paths can recover
+    cos/sin(psi_nw) = (B, A)/hypot algebraically instead of paying
+    atan2 + cos + sin per RK4 stage (see `kinematics.WA.f_ode`)."""
     q1, q2, q3, q4 = q_ew[..., 0], q_ew[..., 1], q_ew[..., 2], q_ew[..., 3]
     dq12 = 2 * q1 * q2
     dq13 = 2 * q1 * q3
     dq24 = 2 * q2 * q4
     dq34 = 2 * q3 * q4
-    return jnp.arctan2(-(dq34 + dq12), dq24 - dq13)
+    return -(dq34 + dq12), dq24 - dq13
+
+
+def get_psi_nw(q_ew):
+    """Wander angle from ECEF→wander-azimuth quaternion (`geodesy.jl:140-147`)."""
+    A, B = get_psi_nw_ab(q_ew)
+    return jnp.arctan2(A, B)
 
 
 # ------------------------------------------------------------- geoid (EGM96)

@@ -241,14 +241,15 @@ class VehicleDynamics(Component):
         r_ec_e = r_eb_e + r_bc_e
         n_c, h_c = geo.geographic_from_cartesian(r_ec_e)
 
-        # gravity at CoM in CoM axes via an auxiliary local-level frame
-        q_el = geo.ltf(n_c)
-        from flightjax.ops.quaternions import qmul, qconj
-        q_cl = qmul(qconj(q_eb), q_el)
+        # gravity at CoM in CoM axes. The reference goes through an
+        # auxiliary local-level frame (q_cl = conj(q_eb) ∘ ltf(n_c), then
+        # rotates [0,0,g] — `dynamics.jl:472-480`), but the ltf's down
+        # column is EXACTLY -n_c, so the whole ltf construction
+        # (2 atan2 + 4 trig + 2 qmul + qrot) collapses to one qrot_inv:
+        # g_c_c = g * R(q_eb)^T (-n_c). Same value to roundoff (tighter,
+        # actually: no trig round-trip through lat/lon).
         g_mag = geo.gravity(n_c, h_c)
-        g_c_l = jnp.stack([jnp.zeros_like(g_mag), jnp.zeros_like(g_mag), g_mag],
-                          axis=-1)
-        g_c_c = qrot(q_cl, g_c_l)
+        g_c_c = g_mag[..., None] * qrot_inv(q_eb, -n_c)
 
         # angular & linear momentum equations at c (`dynamics.jl:491-493`)
         hc = _mv(J_c, omega_ic_c) + ho_sum_c

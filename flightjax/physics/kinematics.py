@@ -15,12 +15,15 @@ fed from the dynamics continuous state by the vehicle composite.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from flightjax.core.modeling import Component, bwhere
 from flightjax.ops import geodesy as geo
 from flightjax.ops import attitude as att
-from flightjax.ops.quaternions import qmul, qconj, qrot, qrot_inv, qdt, qnormalize
+from flightjax.ops.quaternions import (qmul, qconj, qrot, qrot_inv, qdt,
+                                       qnormalize, qmul_zpre, qmul_zpost,
+                                       rot2_z)
 
 V_MIN_CHI_GAMMA = 0.1  # minimum ground speed for valid course/FPA
 
@@ -182,16 +185,28 @@ class WA(Component):
         q_wb, q_ew, h_e = x["q_wb"], x["q_ew"], x["h_e"]
         omega_eb_b, v_eb_b = u["omega_eb_b"], u["v_eb_b"]
 
-        psi_nw = geo.get_psi_nw(q_ew)
-        q_nw = att.rot_z(psi_nw)
-        q_nb = qmul(q_nw, q_wb)
+        # Wander-angle rotation WITHOUT transcendentals: psi_nw = atan2(A,B),
+        # so (cos, sin) psi_nw = (B, A)/hypot and the half-angle pair follows
+        # from sqrt identities (`att.half_angle_cs`). This replaces
+        # atan2 + cos + sin + two general qmuls per RK4 stage — the single
+        # hottest chain of the TPU fleet step (tools/profile_fleet.py).
+        A, B = geo.get_psi_nw_ab(q_ew)
+        n2 = A * A + B * B
+        ok = n2 > 0
+        hinv = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+        cpsi = jnp.where(ok, B * hinv, 1.0)   # atan2(0, 0) := 0
+        spsi = jnp.where(ok, A * hinv, 0.0)
+        c2, s2 = att.half_angle_cs(cpsi, spsi)
+
+        q_nb = qmul_zpre(c2, s2, q_wb)        # = qmul(rot_z(psi_nw), q_wb)
         q_eb = qmul(q_ew, q_wb)
-        q_en = qmul(q_eb, qconj(q_nb))
+        # q_en = q_eb ∘ conj(q_nb) = q_ew ∘ conj(q_nw) for unit q_wb
+        q_en = qmul_zpost(q_ew, c2, -s2)
 
         n_e = geo.nvector_from_qew(q_ew)
         v_eb_n = qrot(q_nb, v_eb_b)
         omega_ew_n = get_omega_ew_n(v_eb_n, n_e, h_e)
-        omega_ew_w = qrot_inv(q_nw, omega_ew_n)
+        omega_ew_w = rot2_z(cpsi, -spsi, omega_ew_n)   # = qrot_inv(q_nw, ·)
         omega_ew_b = qrot_inv(q_wb, omega_ew_w)
         omega_wb_b = omega_eb_b - omega_ew_b
 

@@ -478,7 +478,7 @@ class GearSet:
         """Airborne StrutY: the wow=false masked defaults plus the
         cheap-local-frame `delta_h` (see `f_ode_airborne`)."""
         n = self.n
-        down_e = qrot(kin.q_en, jnp.asarray(E3, kin.h_e.dtype))
+        down_e = -kin.n_e  # = qrot(q_en, E3): the ltf down column is -n_e
         r_bs_e = qrot(kin.q_eb, jnp.asarray(self.unit.r_bs, kin.h_e.dtype))
         h_w0 = kin.h_e - jnp.sum(r_bs_e * down_e, axis=-1)       # (n,)
         delta_h = h_w0 - (trn.elevation + (kin.h_e - kin.h_o))

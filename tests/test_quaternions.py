@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -71,3 +72,34 @@ def test_batched():
 
 
 pytestmark = pytest.mark.fast
+
+
+def test_axis_rotation_specializations():
+    """qmul_zpre/qmul_zpost/rot2_z/rot2_y vs the general qmul/qrot forms
+    (the TPU hot-path specializations used by kinematics.WA and the C172
+    aero stability-axes rotation)."""
+    from flightjax.ops import attitude as att
+    rng = np.random.default_rng(7)
+    psi = jnp.asarray(np.concatenate([
+        rng.uniform(-np.pi, np.pi, 64),
+        [0.0, np.pi, np.pi / 2, -np.pi / 2, 1e-15, -1e-15]]))
+    c, s = jnp.cos(psi), jnp.sin(psi)
+    c2, s2 = att.half_angle_cs(c, s)
+    np.testing.assert_allclose(c2, np.cos(psi / 2), atol=1e-14)
+    np.testing.assert_allclose(s2, np.sin(psi / 2), atol=1e-14)
+
+    q = rand_quat(rng, batch=psi.shape)
+    v = jnp.asarray(rng.standard_normal(psi.shape + (3,)))
+    qz, qy = att.rot_z(psi), att.rot_y(psi)
+    np.testing.assert_allclose(Q.qmul_zpre(c2, s2, q), Q.qmul(qz, q), atol=1e-14)
+    np.testing.assert_allclose(Q.qmul_zpost(q, c2, s2), Q.qmul(q, qz), atol=1e-14)
+    np.testing.assert_allclose(Q.rot2_z(c, s, v), Q.qrot(qz, v), atol=1e-13)
+    np.testing.assert_allclose(Q.rot2_z(c, -s, v), Q.qrot_inv(qz, v), atol=1e-13)
+    np.testing.assert_allclose(Q.rot2_y(c, s, v), Q.qrot(qy, v), atol=1e-13)
+
+    # psi = pi convention matches atan2 (+pi), and grads stay finite at the
+    # half-angle branch point (c = -1)
+    g = jax.grad(lambda cs: sum(jnp.sum(t)
+                                for t in att.half_angle_cs(cs[0], cs[1])))(
+        jnp.asarray([-1.0, 0.0]))
+    assert bool(jnp.all(jnp.isfinite(g)))
