@@ -34,6 +34,15 @@ _KRON_STATIC = False
 # the drift/parity gates are unaffected). Overridable for experiments.
 _PRECISION = jax.lax.Precision.HIGH
 
+# First-axis contractions whose flattened output width R is at or below this
+# threshold run as a VPU broadcast-multiply-reduce instead of an MXU matmul.
+# For R=1 (the many tiny 1-D aero/engine tables) the (B, n0) x (n0, 1)
+# matvec pads to 128x128 MXU tiles at ~1/16000 utilization AND forces the
+# hat-weight tensor to materialize as a matmul operand; the mul+reduce form
+# fuses into the weight computation. Measured on-chip with
+# tools/exp_matvec.py — see docs/notes/performance.md before changing.
+_VPU_MAX_R = 0
+
 
 @jax.tree_util.register_pytree_node_class
 class Lookup:
@@ -217,12 +226,19 @@ class Lookup:
             # form below feeds the MXU while the VPU runs neighbors)
             w = self._hat_weights_static(xs[0], live[0][1], live[0][2])
             V2 = jnp.asarray(V.reshape(V.shape[0], -1), dt)
-            # ONE 2-D (nb, n0) x (n0, R) matmul: the batched
-            # (B..., 1, n0) x (n0, R) form lowers to an M=1-per-lane dot
-            # that wastes the MXU (measured 57 us/step at batch 4096; the
-            # flat form is a single well-tiled contraction)
-            out = jnp.matmul(w.reshape(nb, V.shape[0]), V2,
-                             precision=_PRECISION)
+            if V2.shape[1] <= _VPU_MAX_R:
+                # tiny output width: VPU mul+reduce fuses with the hat
+                # weights; the MXU matvec would pad to 128x128 tiles and
+                # materialize w as a standalone operand (see _VPU_MAX_R)
+                out = jnp.sum(
+                    w.reshape(nb, V.shape[0], 1) * V2, axis=-2)
+            else:
+                # ONE 2-D (nb, n0) x (n0, R) matmul: the batched
+                # (B..., 1, n0) x (n0, R) form lowers to an M=1-per-lane dot
+                # that wastes the MXU (measured 57 us/step at batch 4096; the
+                # flat form is a single well-tiled contraction)
+                out = jnp.matmul(w.reshape(nb, V.shape[0]), V2,
+                                 precision=_PRECISION)
             rest = V.shape[1:]
             for i in range(1, len(live)):
                 wi = self._hat_weights_static(xs[i], live[i][1], live[i][2])

@@ -129,6 +129,37 @@ def test_dense_static_kron_vs_reshape_paths():
         interp._KRON_STATIC = saved
 
 
+def test_dense_static_vpu_reduce_matches_matmul():
+    """The `_VPU_MAX_R` broadcast-multiply-reduce form of the first-axis
+    contraction is the same linear map as the MXU matmul form, across dims,
+    tails, extrapolation modes, and batch shapes (f64 here, so exact to
+    reassociation roundoff)."""
+    import flightjax.ops.interp as interp
+    from flightjax.ops.interp import Lookup
+
+    rng = np.random.default_rng(11)
+    saved = interp._VPU_MAX_R
+    try:
+        for trial in range(10):
+            d = int(rng.integers(1, 4))
+            axes = [np.sort(rng.uniform(-3, 3, int(rng.integers(2, 8))))
+                    for _ in range(d)]
+            tail = (int(rng.integers(2, 5)),) if trial % 2 else ()
+            vals = rng.standard_normal(tuple(len(a) for a in axes) + tail)
+            extrap = tuple(rng.choice(["flat", "line"]) for _ in range(d))
+            lk = Lookup(axes, vals, extrap=extrap, dense=True)
+            shp = (23,) if trial % 3 else (4, 5)
+            q = [jnp.asarray(rng.uniform(-4, 4, shp)) for _ in range(d)]
+            interp._VPU_MAX_R = 0
+            a = np.asarray(lk(*q))
+            interp._VPU_MAX_R = 1 << 20   # force the reduce form everywhere
+            b = np.asarray(lk(*q))
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+    finally:
+        interp._VPU_MAX_R = saved
+
+
 def test_mosaic_safe_toggles_kron_path():
     import flightjax.ops.interp as interp
     from flightjax.ops.mathx import mosaic_safe
