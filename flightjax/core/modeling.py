@@ -102,6 +102,36 @@ def tree_where(pred, true_tree, false_tree):
     return jax.tree.map(sel, true_tree, false_tree)
 
 
+def match_vma(tree, ref):
+    """Make every leaf of `tree` carry (at least) the varying-manual-axes
+    of `ref`'s leaves, via `lax.pcast(..., to='varying')`.
+
+    Under `shard_map`, freshly-minted constants (zeros, identity
+    quaternions) are *replicated* over the mesh axes while values derived
+    from sharded operands are *varying*; a `lax.cond` whose cheap branch
+    builds such constants then fails JAX's VMA branch-type check (the
+    fleet-level gear gate is the shipped case). Outside shard_map the vma
+    sets are empty and this is an exact no-op."""
+    want = frozenset()
+    for l in jax.tree.leaves(ref):
+        try:
+            want = want | jax.typeof(l).vma
+        except (AttributeError, TypeError):
+            pass
+    if not want:
+        return tree
+
+    def cast(l):
+        try:
+            missing = want - jax.typeof(l).vma
+        except (AttributeError, TypeError):
+            return l
+        if not missing:
+            return l
+        return jax.lax.pcast(l, tuple(missing), to="varying")
+    return jax.tree.map(cast, tree)
+
+
 def periodic_gate(k, N, fn, state):
     """Run `fn(state) -> state` only when root periodic firing index `k` is a
     multiple of `N` (the reference's `Conditional` execution,

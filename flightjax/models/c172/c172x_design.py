@@ -204,6 +204,54 @@ def design_lon(tp: C172.TrimParameters, lss=None):
                 tv2te=data_tv2te, vh2te=data_vh2te)
 
 
+def pid_eval_plants(lss, pid_gains, lqr_te2te, lqr_pb2ar):
+    """The SISO plant + horizon each PID channel is scored on, with every
+    inner loop closed using `pid_gains` (dict channel -> PIDGains) and the
+    LQR closures from `lqr_te2te`/`lqr_pb2ar` (K_fbk/K_fwd dicts).
+
+    Mirrors the plant constructions inside `design_lon`/`design_lat` but
+    takes the gains as inputs instead of optimizing them — used by the
+    reference-parity response-metric anchor to score the repo's and the
+    reference's PID stacks on the SAME linearized plant
+    (`tests/test_reference_parity.py`). Returns {channel: (SS, t_sim)}."""
+    out = {}
+    # ----- longitudinal chain (same construction as design_lon)
+    y_lon = list(X_LON_FULL) + ["f_x", "f_z", "TAS", "gamma", "climb_rate",
+                                "throttle_cmd", "elevator_cmd"]
+    lss_lon = _sub(lss, X_LON_FULL, U_LON, y_lon)
+    lss_red = lss_lon.delete_vars(x=("h",), y=("h",))
+    P_red = lti.ss(lss_red.A, lss_red.B, lss_red.C, lss_red.D)
+    P_te2te = lti.state_feedback(P_red, lqr_te2te["K_fbk"],
+                                 lqr_te2te["K_fwd"])
+    ylab = lss_red.y_labels
+    out["q2e"] = (lti.series(lti.integrator(),
+                             lti.select(P_te2te, ylab.index("q"), 1)), 10.0)
+    C_q2e = lti.series(lti.integrator(), lti.pid_ss(*pid_gains["q2e"]))
+    P_tq = lti.close_siso(P_te2te, C_q2e, 1, ylab.index("q"))
+    P_ttheta = lti.close_siso(P_tq, lti.ss_gain(1.0), 1, ylab.index("theta"))
+    out["v2t"] = (lti.select(P_ttheta, ylab.index("EAS"), 0), 10.0)
+    C_v2t = lti.pid_ss(*pid_gains["v2t"])
+    P_vtheta = lti.close_siso(P_ttheta, C_v2t, 0, ylab.index("EAS"))
+    out["c2theta"] = (lti.select(P_vtheta, ylab.index("climb_rate"), 1), 20.0)
+
+    # ----- lateral chain (same construction as design_lat)
+    x_lat = ("p", "r", "psi", "phi", "EAS", "beta", "beta_filt",
+             "ail_p", "rud_p")
+    y_lat = list(x_lat) + ["f_y", "chi", "aileron_cmd", "rudder_cmd"]
+    lss_lat = _sub(lss, x_lat, U_LAT, y_lat)
+    lss_red_lat = lss_lat.delete_vars(x=("psi",), y=("psi", "chi"))
+    idx = [list(lss_lat.x_labels).index(l) for l in lss_red_lat.x_labels]
+    K_fbk_full = np.zeros((2, len(lss_lat.x_labels)))
+    K_fbk_full[:, idx] = lqr_pb2ar["K_fbk"]
+    P_lat = lti.ss(lss_lat.A, lss_lat.B, lss_lat.C, lss_lat.D)
+    P_pb = lti.state_feedback(P_lat, K_fbk_full, lqr_pb2ar["K_fwd"])
+    ylab2 = lss_lat.y_labels
+    out["p2phi"] = (lti.series(lti.integrator(),
+                               lti.select(P_pb, ylab2.index("p"), 0)), 10.0)
+    out["chi2phi"] = (lti.select(P_pb, ylab2.index("chi"), 0), 30.0)
+    return out
+
+
 def design_lat(tp: C172.TrimParameters, lss=None):
     """All lateral gain sets at one design point (`c172x_design.jl:555-760`)."""
     if lss is None:

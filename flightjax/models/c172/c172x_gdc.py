@@ -107,9 +107,53 @@ def segment_data(seg: Segment, n_e_b, h_e_b) -> SegmentData:
                        s_1b=s_1b, s_2b=s_2b, e_sb=e_sb, v_sb=v_sb, h_s=h_s)
 
 
+class Circle(NamedTuple):
+    """Loiter circle: geographic center, radius and turn direction
+    (+1 = clockwise viewed from above / right-hand orbit, -1 = CCW)."""
+    n_e: jnp.ndarray
+    h_e: jnp.ndarray
+    radius: jnp.ndarray
+    turn_dir: jnp.ndarray
+
+
+def circle(lat, lon, h, radius, turn_dir=1.0):
+    return Circle(
+        n_e=geo.nvector_from_latlon(jnp.asarray(lat), jnp.asarray(lon)),
+        h_e=jnp.asarray(float(h)), radius=jnp.asarray(float(radius)),
+        turn_dir=jnp.asarray(float(turn_dir)))
+
+
+class CircleData(NamedTuple):
+    """Circle-relative coordinates: bearing of the vehicle from the center
+    `sigma`, horizontal center distance `d_cb`, radial (cross-track) error
+    `e_cb = d_cb - radius` (positive outside), vertical deviation `v_cb`,
+    and the local tangent course `chi_tan`."""
+    sigma: jnp.ndarray
+    d_cb: jnp.ndarray
+    e_cb: jnp.ndarray
+    v_cb: jnp.ndarray
+    chi_tan: jnp.ndarray
+
+
+def circle_data(crc: Circle, n_e_b, h_e_b) -> CircleData:
+    """Vehicle position in circle coordinates, via the same local-NED(Ob)
+    projection as `segment_data`."""
+    r_ec = geo.cartesian_from_geographic(crc.n_e, crc.h_e)
+    r_eb = geo.cartesian_from_geographic(n_e_b, h_e_b)
+    q_en = geo.ltf(n_e_b)
+    r_cb_n = qrot_inv(q_en, r_eb - r_ec)
+    r_cb_h = r_cb_n.at[2].set(0.0)
+    d_cb = jnp.sqrt(jnp.sum(r_cb_h**2) + 1e-12)
+    sigma = att.azimuth(r_cb_h)
+    chi_tan = att.wrap_to_pi(sigma + crc.turn_dir * (np.pi / 2))
+    return CircleData(sigma=sigma, d_cb=d_cb, e_cb=d_cb - crc.radius,
+                      v_cb=h_e_b - crc.h_e, chi_tan=chi_tan)
+
+
 class GdcY(NamedTuple):
     mode: jnp.ndarray
     data: SegmentData
+    crc_data: CircleData
     dchi: jnp.ndarray
     chi_ref: jnp.ndarray
     h_ref: jnp.ndarray
@@ -118,7 +162,9 @@ class GdcY(NamedTuple):
 
 
 class GuidanceLaws:
-    """Segment guidance component (`c172x_gdc.jl:226-338`)."""
+    """Segment + circular guidance component (`c172x_gdc.jl:226-338`;
+    the reference's CircularGuidance is an empty stub emitting a warning,
+    `c172x_gdc.jl:256-268` — the circular law here is a real loiter mode)."""
 
     DCHI_INF = np.pi / 2  # intercept angle at infinite cross-track error
     E_SF = 250.0          # cross-track scaling (m)
@@ -128,6 +174,7 @@ class GuidanceLaws:
         return {
             "mode_req": jnp.asarray(GDC_DIRECT, dtype=jnp.int32),
             "target": segment(0.0, 0.0, 0.0, 1e-3, 0.0, 0.0),
+            "orbit": circle(0.0, 0.0, 0.0, 1000.0),
             "hor_gdc_req": jnp.asarray(False),
             "vrt_gdc_req": jnp.asarray(False),
         }
@@ -139,18 +186,35 @@ class GuidanceLaws:
         data = segment_data(u["target"], kin.n_e, kin.h_e)
 
         dchi = -self.DCHI_INF / (np.pi / 2) * jnp.arctan(data.e_sb / self.E_SF)
-        chi_ref = att.wrap_to_pi(data.chi_12 + dchi)
-        h_ref = data.h_s
+        chi_seg = att.wrap_to_pi(data.chi_12 + dchi)
+
+        # circular (loiter) law: course = local tangent, rotated toward the
+        # circle by an atan capture term. At e -> +inf the correction
+        # saturates at turn_dir*pi/2, i.e. chi_ref = sigma + turn_dir*pi =
+        # pointing straight AT the center; at e = 0 it is the pure tangent.
+        crc = u["orbit"]
+        cdata = circle_data(crc, kin.n_e, kin.h_e)
+        dchi_crc = crc.turn_dir * self.DCHI_INF / (np.pi / 2) \
+            * jnp.arctan(cdata.e_cb / self.E_SF)
+        chi_crc = att.wrap_to_pi(cdata.chi_tan + dchi_crc)
 
         mode = jnp.where(CTL.is_on_gnd(veh_y), GDC_DIRECT,
                          u["mode_req"]).astype(jnp.int32)
         seg_on = mode == GDC_SEGMENT
-        hor = jnp.logical_and(seg_on, u["hor_gdc_req"])
+        crc_on = mode == GDC_CIRCULAR
+        law_on = jnp.logical_or(seg_on, crc_on)
+
+        chi_ref = jnp.where(crc_on, chi_crc, chi_seg)
+        h_ref = jnp.where(crc_on, crc.h_e, data.h_s)
+        e_lat = jnp.where(crc_on, cdata.e_cb, data.e_sb)
+
+        hor = jnp.logical_and(law_on, u["hor_gdc_req"])
         vrt = jnp.logical_and(
-            seg_on, jnp.logical_and(u["vrt_gdc_req"],
-                                    jnp.abs(data.e_sb) < self.E_THR))
-        return GdcY(mode=mode, data=data, dchi=dchi, chi_ref=chi_ref,
-                    h_ref=h_ref, hor_gdc=hor, vrt_gdc=vrt)
+            law_on, jnp.logical_and(u["vrt_gdc_req"],
+                                    jnp.abs(e_lat) < self.E_THR))
+        return GdcY(mode=mode, data=data, crc_data=cdata,
+                    dchi=jnp.where(crc_on, dchi_crc, dchi),
+                    chi_ref=chi_ref, h_ref=h_ref, hor_gdc=hor, vrt_gdc=vrt)
 
     def override_ctl_u(self, ctl_u, gdc_y: GdcY):
         """Guidance commands the control laws (`c172x_gdc.jl:301-312`)."""

@@ -39,8 +39,8 @@ _PRECISION = jax.lax.Precision.HIGH
 # For R=1 (the many tiny 1-D aero/engine tables) the (B, n0) x (n0, 1)
 # matvec pads to 128x128 MXU tiles at ~1/16000 utilization AND forces the
 # hat-weight tensor to materialize as a matmul operand; the mul+reduce form
-# fuses into the weight computation. Measured on-chip with
-# tools/exp_matvec.py — see docs/notes/performance.md before changing.
+# fuses into the weight computation. A/B with tools/exp_matvec.py; on-chip
+# result recorded in docs/notes/performance.md ("VPU matvec threshold").
 _VPU_MAX_R = 0
 
 
@@ -221,9 +221,11 @@ class Lookup:
             # form re-materializes a full-width (B, R) product per axis.
             batch = xs[0].shape
             nb = int(np.prod(batch, dtype=np.int64)) if batch else 1
-            # (measured negative: a joint outer-product weight + elementwise
-            # reduce for tiny tables was 1.6x SLOWER overall — the matmul
-            # form below feeds the MXU while the VPU runs neighbors)
+            # (measured negative: the JOINT multi-axis outer-product weight
+            # + elementwise reduce for tiny tables was 1.6x SLOWER overall —
+            # the matmul form below feeds the MXU while the VPU runs
+            # neighbors. The _VPU_MAX_R branch below is narrower: it rewrites
+            # ONLY the first-axis contraction, not the joint weight.)
             w = self._hat_weights_static(xs[0], live[0][1], live[0][2])
             V2 = jnp.asarray(V.reshape(V.shape[0], -1), dt)
             if V2.shape[1] <= _VPU_MAX_R:

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flightjax.core.modeling import Component, bwhere
+from flightjax.core.modeling import Component, bwhere, match_vma
 from flightjax.ops.quaternions import qmul, qconj, qrot, qrot_inv
 from flightjax.ops import geodesy as geo
 from flightjax.ops import attitude as att
@@ -427,8 +427,13 @@ class GearSet:
             return self._f_ode_full(x, u, t, kin, trn)
         return jax.lax.cond(
             gate,
-            lambda op: self._f_ode_full(*op),
-            lambda op: self.f_ode_airborne(*op),
+            # match_vma on BOTH branches: under shard_map the airborne
+            # branch mints mesh-replicated constants (zeros, identity
+            # quats) while the full branch's are varying — and vice versa
+            # for pass-through leaves (terrain). Casting each branch's
+            # replicated leaves to varying makes the cond types match.
+            lambda op: match_vma(self._f_ode_full(*op), op),
+            lambda op: match_vma(self.f_ode_airborne(*op), op),
             (x, u, t, kin, trn))
 
     def _f_ode_full(self, x, u, t, kin: KinData, trn: TerrainData):
@@ -500,9 +505,9 @@ class GearSet:
             return self._f_step_full(x, u, t, kin, trn)
         return jax.lax.cond(
             gate,
-            lambda op: self._f_step_full(*op),
+            lambda op: match_vma(self._f_step_full(*op), op),
             # airborne: the full path computes `where(wow, frc, 0)` = 0
-            lambda op: {"frc": jnp.zeros_like(op[0]["frc"])},
+            lambda op: match_vma({"frc": jnp.zeros_like(op[0]["frc"])}, op),
             (x, u, t, kin, trn))
 
     def _f_step_full(self, x, u, t, kin: KinData, trn: TerrainData):
@@ -522,8 +527,8 @@ class GearSet:
             return self._strut_y_full(x, u, t, kin, trn)
         return jax.lax.cond(
             gate,
-            lambda op: self._strut_y_full(*op),
-            lambda op: self.strut_y_airborne(op[3], op[4]),
+            lambda op: match_vma(self._strut_y_full(*op), op),
+            lambda op: match_vma(self.strut_y_airborne(op[3], op[4]), op),
             (x, u, t, kin, trn))
 
     def _strut_y_full(self, x, u, t, kin: KinData, trn: TerrainData):

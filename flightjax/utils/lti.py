@@ -170,7 +170,7 @@ def step_response(sys: SS, t_end, n=500):
     x = np.zeros((nx, 1))
     y = np.empty(n)
     for k in range(n):
-        y[k] = float(sys.C @ x + sys.D)
+        y[k] = float((sys.C @ x + sys.D)[0, 0])
         x = Ad @ x + Bd
     return t, y
 

@@ -79,11 +79,14 @@ def test_sas_engagement_bumpless(rig):
     assert int(final.s["avionics"]["lon"]["mode_prev"]) == CTL.LON_SAS
     assert int(final.s["avionics"]["lat"]["mode_prev"]) == CTL.LAT_SAS
     y = veh_y(vehicle, final)
+    # reference acceptance band (`test_c172x1.jl:101-557`): 1e-5 rad/s,
+    # 1e-2 m/s. Measured floor here is 6.7e-8 / 2.8e-4 (tools round-3
+    # probe), so the reference band carries >1 decade of margin.
     np.testing.assert_allclose(np.asarray(y.kinematics.omega_wb_b),
                                np.asarray(y_trim.kinematics.omega_wb_b),
-                               atol=1e-4)
+                               atol=1e-5)
     assert abs(float(y.kinematics.v_eb_b[0])
-               - float(y_trim.kinematics.v_eb_b[0])) < 2e-2
+               - float(y_trim.kinematics.v_eb_b[0])) < 1e-2
 
 
 def test_phi_beta_tracking(rig):

@@ -53,6 +53,45 @@ def test_guidance_intercept_law():
         < -np.pi / 2 + 0.01
 
 
+@pytest.mark.fast
+def test_circle_data_geometry():
+    """Circle-relative coordinates: bearing, radial error, tangent course
+    (the reference's CircularGuidance is an unimplemented stub,
+    `c172x_gdc.jl:256-268`; this mode exceeds it)."""
+    from flightjax.ops import geodesy as geo
+    from flightjax.ops.quaternions import qrot
+
+    crc = GDC.circle(0.0, 0.0, 1000.0, radius=1500.0, turn_dir=1.0)
+    # a point 2 km EAST of the center, 50 m below the circle altitude
+    q_en = geo.ltf(crc.n_e)
+    r = geo.cartesian_from_geographic(crc.n_e, crc.h_e) \
+        + qrot(q_en, jnp.asarray([0.0, 2000.0, 50.0]))
+    n_e_b, h_e_b = geo.geographic_from_cartesian(r)
+    d = GDC.circle_data(crc, n_e_b, h_e_b)
+    assert float(d.d_cb) == pytest.approx(2000.0, abs=1.0)
+    assert float(d.e_cb) == pytest.approx(500.0, abs=1.0)
+    assert float(d.sigma) == pytest.approx(np.pi / 2, abs=1e-3)
+    # clockwise orbit at the east point flies SOUTH (sigma + 90 deg)
+    assert abs(float(d.v_cb) + 50.0) < 0.5  # below the circle
+    assert float(d.chi_tan) == pytest.approx(np.pi, abs=1e-3)
+    # CCW tangent is the reverse: north
+    crc2 = crc._replace(turn_dir=jnp.asarray(-1.0))
+    d2 = GDC.circle_data(crc2, n_e_b, h_e_b)
+    assert float(d2.chi_tan) == pytest.approx(0.0, abs=1e-3)
+
+
+@pytest.mark.fast
+def test_circular_capture_law_limits():
+    """Far outside the circle the commanded course points AT the center;
+    on the circle it is the pure tangent."""
+    g = GDC.GuidanceLaws()
+    # e -> +inf: correction -> turn_dir * pi/2, so chi_ref -> sigma + pi
+    corr = 1.0 * g.DCHI_INF / (np.pi / 2) * np.arctan(1e9 / g.E_SF)
+    assert corr == pytest.approx(np.pi / 2, abs=1e-3)
+    # on-circle: zero correction
+    assert 1.0 * g.DCHI_INF / (np.pi / 2) * np.arctan(0.0 / g.E_SF) == 0.0
+
+
 @pytest.fixture(scope="module")
 def v2rig():
     from flightjax.physics.aircraftbase import SimpleWorld
@@ -100,6 +139,54 @@ def test_guidance_overrides_ctl(v2rig):
     # cross-track error shrinking toward the segment
     d = GDC.segment_data(seg, y.kinematics.n_e, y.kinematics.h_e)
     assert abs(float(d.e_sb)) < 500.0
+
+
+def test_circular_guidance_orbit(v2rig):
+    """Closed-loop loiter: capture a 1500 m circle from 500 m outside and
+    orbit it clockwise at the circle altitude."""
+    sim, s0, aircraft = v2rig
+    vehicle = aircraft.vehicle
+    _, y0 = vehicle.f_ode(s0.x["vehicle"], s0.u["vehicle"],
+                          s0.s["vehicle"], 0.0)
+    h0 = float(y0.kinematics.h_e)
+
+    # circle center 2 km north of the aircraft -> initial e_cb = +500 m
+    from flightjax.ops import geodesy as geo
+    from flightjax.ops.quaternions import qrot
+    q_en = geo.ltf(y0.kinematics.n_e)
+    r_c = geo.cartesian_from_geographic(y0.kinematics.n_e, y0.kinematics.h_e)\
+        + qrot(q_en, jnp.asarray([2000.0, 0.0, 0.0]))
+    n_c, _ = geo.geographic_from_cartesian(r_c)
+    lat_c, lon_c = geo.latlon_from_nvector(n_c)
+    crc = GDC.circle(float(lat_c), float(lon_c), h0, radius=1500.0,
+                     turn_dir=1.0)
+
+    gdc_u = dict(s0.u["avionics"]["gdc"])
+    gdc_u.update(mode_req=jnp.asarray(GDC.GDC_CIRCULAR, dtype=jnp.int32),
+                 orbit=crc, hor_gdc_req=jnp.asarray(True),
+                 vrt_gdc_req=jnp.asarray(True))
+    state = s0._replace(u=dict(s0.u, avionics=dict(s0.u["avionics"],
+                                                   gdc=gdc_u)))
+
+    # 120 s: captured onto the circle
+    mid, _ = sim.run(state, t_end=120.0, t0=0.0, save_y=False)
+    _, y1 = vehicle.f_ode(mid.x["vehicle"], mid.u["vehicle"],
+                          mid.s["vehicle"], 120.0)
+    d1 = GDC.circle_data(crc, y1.kinematics.n_e, y1.kinematics.h_e)
+    assert abs(float(d1.e_cb)) < 150.0
+    assert abs(float(y1.kinematics.h_e) - h0) < 5.0
+
+    # +60 s: still on the circle, bearing swept CLOCKWISE by ~v*t/R
+    fin, _ = sim.run(mid, t_end=180.0, t0=120.0, save_y=False)
+    _, y2 = vehicle.f_ode(fin.x["vehicle"], fin.u["vehicle"],
+                          fin.s["vehicle"], 180.0)
+    d2 = GDC.circle_data(crc, y2.kinematics.n_e, y2.kinematics.h_e)
+    assert abs(float(d2.e_cb)) < 150.0
+    assert abs(float(y2.kinematics.h_e) - h0) < 5.0
+    from flightjax.ops.attitude import wrap_to_pi
+    sweep = float(wrap_to_pi(d2.sigma - d1.sigma))
+    # clockwise = bearing increasing; ~60 m/s on R=1500 m -> ~2.4 rad/60 s
+    assert sweep > 1.0
 
 
 def test_mission_phase_machine(v2rig):

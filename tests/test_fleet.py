@@ -44,6 +44,63 @@ def test_monte_carlo_fleet_rollout(c172_world_state):
     assert float(m["terminated_frac"]) == 0.0
 
 
+# ---------------------------------------------------------------- fast tier
+# Robot2D-based smoke tests so `pytest -m fast` (the per-commit gate)
+# exercises the vmap fleet and shard_map DP paths without the expensive
+# C172 trim; the C172 variants below stay in the full tier.
+
+@pytest.fixture(scope="module")
+def robot_fleet():
+    from flightjax.models.robot2d import Robot
+    sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02)
+    return sim, sim.init(u_m=0.0)
+
+
+@pytest.mark.fast
+def test_fast_vmap_fleet_rollout(robot_fleet):
+    sim, st0 = robot_fleet
+    B = 8
+    st = fleet.broadcast_state(st0, B)
+    u = dict(st.u)
+    ctl = dict(u["ctl"])
+    ctl["v_ref"] = jnp.linspace(0.0, 0.4, B)
+    u["ctl"] = ctl
+    st = st._replace(u=u)
+    out = fleet.fleet_rollout(sim, st, n_steps=100)
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree.leaves(out))
+    np.testing.assert_allclose(np.asarray(out.t), 1.0, atol=1e-9)
+    # lanes with different velocity references actually diverge
+    v = np.asarray(out.x["vehicle"]["v"])
+    assert np.std(v) > 1e-3
+
+
+@pytest.mark.fast
+def test_fast_sharded_rollout_matches_vmap(robot_fleet):
+    """shard_map DP over the virtual mesh is bit-identical to the plain
+    vmapped fleet — the shipped `sharded_rollout_fn` path the multichip
+    driver gate certifies."""
+    sim, st0 = robot_fleet
+    n_dev = len(jax.devices())
+    assert n_dev >= 2, "conftest should provide a multi-device CPU mesh"
+    B = 2 * n_dev
+    st = fleet.broadcast_state(st0, B)
+    u = dict(st.u)
+    ctl = dict(u["ctl"])
+    ctl["v_ref"] = jnp.linspace(0.0, 0.4, B)
+    u["ctl"] = ctl
+    st = st._replace(u=u)
+
+    truth = fleet.fleet_rollout(sim, st, n_steps=50)
+
+    mesh, sst = fleet.shard_fleet(st)
+    roll = fleet.sharded_rollout_fn(sim, mesh, n_steps=50)
+    out, t_mean = roll(sst)
+    np.testing.assert_allclose(float(t_mean), 0.5, atol=1e-12)
+    for a, b in zip(jax.tree.leaves(truth), jax.tree.leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sharded_rollout(c172_world_state):
     sim, state = c172_world_state
     n_dev = len(jax.devices())

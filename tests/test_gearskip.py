@@ -85,6 +85,34 @@ def test_h_agl_and_gate_predicate(rig):
     np.testing.assert_allclose(np.asarray(h), h_e - (elev + N), rtol=1e-12)
 
 
+@pytest.mark.fast
+def test_gear_gate_under_shard_map(rig):
+    """Regression: the gear-gated fleet_step must compile and run inside
+    `shard_map` (the shipped multi-chip path). The airborne branch used to
+    mint mesh-REPLICATED constants while the full branch produced VARYING
+    outputs, failing JAX's lax.cond vma branch-type check — fixed by
+    `core.modeling.match_vma` on both branches. Result must match the
+    unsharded gated step to ~1 ulp (the shard-local batch is 2 vs 4
+    unsharded, so XLA's fusion/FMA grouping can differ by rounding —
+    bit-exactness across different local shapes is not an XLA contract)."""
+    from flightjax.parallel import fleet
+    sim, state, ctx = rig
+    n_dev = min(2, len(jax.devices()))
+    assert n_dev >= 2, "conftest should provide a multi-device CPU mesh"
+    B = 2 * n_dev
+    st = jax.tree.map(
+        lambda l: jnp.broadcast_to(l[:1], (B,) + jnp.shape(l)[1:]), state)
+
+    truth = jax.jit(lambda s: _roll(
+        lambda x: sim.fleet_step(x, ctx), s, 4))(st)
+
+    mesh, sst = fleet.shard_fleet(st, devices=jax.devices()[:n_dev])
+    roll = fleet.sharded_rollout_fn(sim, mesh, n_steps=4, ctx=ctx)
+    out, t_mean = roll(sst)
+    assert _max_err(out, truth) < 1e-12
+    np.testing.assert_allclose(float(t_mean), float(truth.t[0]), atol=0)
+
+
 def test_airborne_delta_h_approx(rig):
     """The airborne branch's wheel-clearance diagnostic matches the full
     Fukushima-exact geometry to <1e-5 m at the trim state."""

@@ -56,11 +56,13 @@ def main():
               f"{batch/dt/1e6:6.2f}M steps/s", flush=True)
 
     for thresh in (1, 8):
+        # compare EVERY leaf of the state pytree (x, attitude, velocities,
+        # engine/discrete state), not just the .x subtree
         err = max(jax.tree.leaves(jax.tree.map(
             lambda a, b: float(jnp.max(jnp.abs(a.astype(jnp.float64) -
                                                b.astype(jnp.float64)))),
-            outs[0].x, outs[thresh].x)))
-        print(f"max 1-step x divergence {thresh} vs 0: {err:.3e}")
+            outs[0], outs[thresh])))
+        print(f"max 1-step state divergence {thresh} vs 0: {err:.3e}")
 
 
 if __name__ == "__main__":
