@@ -114,16 +114,77 @@ def test_lqr_gains_match_reference(repo_gains, ch):
 @pytest.mark.parametrize("ch", PID_CHANNELS)
 @pytest.mark.fast
 def test_pid_gains_compatible_with_reference(repo_gains, ch):
-    """PID optimizers differ by design; assert structural parity only:
-    same derivative filter, same sign, magnitudes within one decade."""
+    """PID optimizers differ by design; assert structural parity only
+    (same derivative filter, same sign). Behavioral parity is pinned by
+    `test_pid_response_metrics_match_reference` below — closed-loop
+    metrics of both stacks on the same plant — which replaces the old
+    loose magnitude band."""
     ref, _ = _ref_table(CHANNELS[ch])
     np.testing.assert_allclose(repo_gains[f"{ch}/tau_f"], ref["tau_f"])
     for key in ("k_p", "k_i", "k_d"):
         a, b = ref[key], np.asarray(repo_gains[f"{ch}/{key}"], float)
         assert np.all(np.sign(a) * np.sign(b) >= 0), f"{ch}/{key}: sign flip"
-        scale = max(np.max(np.abs(a)), 1e-9)
-        err = np.max(np.abs(a - b)) / scale
-        assert err < 1.0, f"{ch}/{key}: {err:.2e} beyond one decade band"
+
+
+def _pid_gains_at(src, ch, i, j):
+    from flightjax.utils.pidopt import PIDGains
+    if isinstance(src, dict):  # reference HDF5 table
+        return PIDGains(float(np.asarray(src["k_p"])[i, j]),
+                        float(np.asarray(src["k_i"])[i, j]),
+                        float(np.asarray(src["k_d"])[i, j]),
+                        float(np.asarray(src["tau_f"])[i, j]))
+    return PIDGains(float(src[f"{ch}/k_p"][i, j]),
+                    float(src[f"{ch}/k_i"][i, j]),
+                    float(src[f"{ch}/k_d"][i, j]),
+                    float(src[f"{ch}/tau_f"][i, j]))
+
+
+@needs_ref
+@pytest.mark.slow
+def test_pid_response_metrics_match_reference(repo_gains):
+    """Behavioral PID anchor (VERDICT r2 ask #4): score the repo's and the
+    reference's PID stacks on the SAME repo-linearized plant at the interior
+    design point (EAS=40, h=1050) and assert closed-loop response metrics
+    (sensitivity peak Ms, mean |e|, final error, control peak) are within a
+    band of the reference's. This pins controller BEHAVIOR, not optimizer
+    coincidence — the gains themselves may differ (different optimizers by
+    design, `pidopt.jl:97-119` vs `utils/pidopt.py`).
+
+    Measured 2026-08-19 (repo vs ref): Ms ratios 0.99-1.02, int_e ratios
+    0.92-1.04, u_p ratios 0.83-1.09; e_f both stacks < 0.01."""
+    from flightjax.models.c172 import common as C172
+    from flightjax.models.c172 import c172x_design as design
+    from flightjax.utils import pidopt
+
+    i, j = 3, 1  # EAS=40, h=1050
+    tp = C172.trim_parameters(h=1050.0, EAS=40.0,
+                              flaps=design.flaps_schedule(40.0))
+    lss = design.get_design_model(tp)
+
+    lqr_te2te = {k: np.asarray(repo_gains[f"te2te/{k}"][i, j], float)
+                 for k in ("K_fbk", "K_fwd")}
+    lqr_pb2ar = {k: np.asarray(repo_gains[f"phibeta2ar/{k}"][i, j], float)
+                 for k in ("K_fbk", "K_fwd")}
+
+    stacks = {}
+    for name in ("repo", "ref"):
+        gains = {}
+        for ch in PID_CHANNELS:
+            src = repo_gains if name == "repo" else _ref_table(CHANNELS[ch])[0]
+            gains[ch] = _pid_gains_at(src, ch, i, j)
+        plants = design.pid_eval_plants(lss, gains, lqr_te2te, lqr_pb2ar)
+        stacks[name] = {ch: pidopt.metrics(P, gains[ch], t_sim)
+                        for ch, (P, t_sim) in plants.items()}
+
+    for ch in PID_CHANNELS:
+        got, ref = stacks["repo"][ch], stacks["ref"][ch]
+        assert got.Ms <= 1.15 * ref.Ms, \
+            f"{ch}: Ms {got.Ms:.3f} vs ref {ref.Ms:.3f}"
+        assert got.int_e <= 1.25 * ref.int_e + 0.005, \
+            f"{ch}: int_e {got.int_e:.4f} vs ref {ref.int_e:.4f}"
+        assert got.e_f < 0.02, f"{ch}: final error {got.e_f:.4f}"
+        assert got.u_p <= 1.3 * ref.u_p + 0.05, \
+            f"{ch}: u_p {got.u_p:.3f} vs ref {ref.u_p:.3f}"
 
 
 @needs_ref
