@@ -136,6 +136,48 @@ print('RESULT', json.dumps(dict(
     assert np.linalg.norm(dr) < 5.0, dr
 
 
+@pytest.mark.slow
+def test_f32_envelope_600s_cruise():
+    """The f32 fast path's accuracy envelope at the ADVERTISED mission
+    horizon (600 s — the turning-climb / Monte Carlo workloads,
+    BASELINE.md rows 3-4), not just the 10 s gate above. Measured
+    2026-08-19 (tools/exp_f32_comp.py, trimmed cruise, CPU f32 legs vs
+    CPU f64):
+
+        comp=True : |dr| = 21.8 m, |dv| = 1.1e-3 m/s,
+                    attitude 1.9e-3 rad, EAS 1.1e-3 m/s
+        comp=False: |dr| = 753 m (the uncompensated random walk)
+
+    Bound: < 50 m position, < 0.01 m/s velocity, < 0.01 rad attitude at
+    600 s with compensation on (the flagship_sim configuration).
+    Reference semantics anchor: `kinematics.jl:181-229` (renorm cadence).
+    """
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "exp_f32_comp", os.path.join(os.path.dirname(__file__), os.pardir,
+                                     "tools", "exp_f32_comp.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    vehicle = c172s.build_vehicle("wa")
+    tp = C172.trim_parameters()
+    _, _, _, ts, rnorm = c172s.trim(vehicle, tp)
+    assert float(rnorm) < 1e-10
+    ts_vals = [float(v) for v in ts]
+
+    ref = tool.leg(ts_vals, x64=True, comp=False, t_end=600.0,
+                   scenario="cruise")
+    got = tool.leg(ts_vals, x64=False, comp="'auto'", t_end=600.0,
+                   scenario="cruise")
+    dr = np.linalg.norm(np.asarray(got["r"]) - np.asarray(ref["r"]))
+    dv = np.linalg.norm(np.asarray(got["v"]) - np.asarray(ref["v"]))
+    de = np.max(np.abs(np.asarray(got["e"]) - np.asarray(ref["e"])))
+    assert dr < 50.0, f"600 s compensated-f32 position drift {dr:.1f} m"
+    assert dv < 0.01, f"600 s velocity drift {dv:.2e} m/s"
+    assert de < 0.01, f"600 s attitude drift {de:.2e} rad"
+
+
 @pytest.mark.fast
 def test_mechanization_agreement_bare_body_1s():
     """Fast-tier drift check: a bare 6-DOF body (NoVehicleSystems, no aero/
