@@ -117,6 +117,47 @@ def turning_climb(t_end=600.0, dt=0.01, EAS_ref=40.0, clm_ref=2.0,
     return final, log
 
 
+def loiter(t_end=300.0, dt=0.02, radius=1500.0, turn_dir=1.0,
+           center_offset_n=2000.0, EAS_ref=40.0, save_every=50, gains=None):
+    """Holding-pattern demo on the C172Xv2: engage circular guidance on a
+    circle `center_offset_n` m north of the trim point and orbit it at the
+    trim altitude. Exercises the loiter mode the reference stubs out
+    (`c172x_gdc.jl:256-268`). Returns (final_state, log)."""
+    from flightjax.physics.aircraftbase import SimpleWorld
+    from flightjax.models.c172 import c172x_gdc as GDC
+    from flightjax.ops import geodesy as geo
+    from flightjax.ops.quaternions import qrot
+
+    aircraft = c172x.build_xv2("wa", gains=gains)
+    world = SimpleWorld(aircraft)
+    sim = Simulation(world, dt=dt, periodic_dt=dt)
+    state, ts, rnorm = c172x.trim_world(aircraft, C172.trim_parameters(),
+                                        periodic_dt=dt)
+    vehicle = aircraft.vehicle
+    _, y0 = vehicle.f_ode(state.x["vehicle"], state.u["vehicle"],
+                          state.s["vehicle"], 0.0)
+    h0 = float(y0.kinematics.h_e)
+
+    q_en = geo.ltf(y0.kinematics.n_e)
+    r_c = geo.cartesian_from_geographic(y0.kinematics.n_e, y0.kinematics.h_e)\
+        + qrot(q_en, jnp.asarray([float(center_offset_n), 0.0, 0.0]))
+    n_c, _ = geo.geographic_from_cartesian(r_c)
+    lat_c, lon_c = geo.latlon_from_nvector(n_c)
+    orbit = GDC.circle(float(lat_c), float(lon_c), h0, radius=float(radius),
+                       turn_dir=float(turn_dir))
+
+    gdc_u = dict(state.u["avionics"]["gdc"],
+                 mode_req=jnp.asarray(GDC.GDC_CIRCULAR, jnp.int32),
+                 orbit=orbit, hor_gdc_req=jnp.asarray(True),
+                 vrt_gdc_req=jnp.asarray(True))
+    ctl_u = dict(state.u["avionics"]["ctl"])
+    ctl_u["lon"] = dict(ctl_u["lon"], EAS_ref=jnp.asarray(float(EAS_ref)))
+    state = state._replace(u=dict(state.u, avionics=dict(
+        state.u["avionics"], gdc=gdc_u, ctl=ctl_u)))
+    return sim.run(state, t_end=t_end, t0=0.0, save_every=save_every,
+                   dispatch_blocks=10)
+
+
 def generic_simulation(t_end=60.0, pace=1.0, xplane_address="127.0.0.1",
                        xplane_port=49000):
     """Interactive C172Sv0 with X-Plane 12 visualization

@@ -32,6 +32,27 @@ def test_lows_pattern_geometry():
     assert float(dep.h_e1) == pytest.approx(legs["h_rwy"])
 
 
+def test_loiter_demo_first_60s():
+    """First 60 s of the loiter demo: circular guidance engaged, radial
+    error shrinking toward the circle, altitude held."""
+    from flightjax.models.c172 import c172x_gdc as GDC
+
+    final, log = D.loiter(t_end=60.0, save_every=100)
+    assert not bool(final.s["terminated"])
+    kin = log.y.vehicle.kinematics
+    h0, h1 = float(kin.h_e[0]), float(kin.h_e[-1])
+    assert abs(h1 - h0) < 10.0
+    # radial error: started 500 m outside (2000 m offset - 1500 m radius),
+    # must have shrunk substantially by 60 s
+    gdc_u = final.u["avionics"]["gdc"]
+    orbit = GDC.Circle(*[gdc_u["orbit"][k] for k in
+                         ("n_e", "h_e", "radius", "turn_dir")]) \
+        if isinstance(gdc_u["orbit"], dict) else gdc_u["orbit"]
+    d0 = GDC.circle_data(orbit, kin.n_e[0], kin.h_e[0])
+    d1 = GDC.circle_data(orbit, kin.n_e[-1], kin.h_e[-1])
+    assert abs(float(d1.e_cb)) < abs(float(d0.e_cb)) * 0.7
+
+
 def test_crosswind_landing_on_slope():
     """First 20 s of the approach: still in phase 'final', tracking the
     3-deg glide slope down under the 6 m/s crosswind."""
