@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flightjax.core.modeling import Component, bwhere
+from flightjax.ops import interp
 from flightjax.ops.interp import Lookup
 from flightjax.ops import geodesy as geo
 from flightjax.ops import attitude as att
@@ -132,6 +133,21 @@ class AeroCoeffs(NamedTuple):
     C_n: jnp.ndarray
 
 
+# How the table lookups in `get_aero_coeffs` evaluate (A/B with
+# tools/exp_bundle.py):
+#   False   — one matmul kernel per table (11 kernels); SHIPS
+#   "all"   — every table through ONE `interp.eval_bundle` matmul
+#   "small" — only the nine tables with <=13 grid points bundle
+# Bundling measured NEGATIVE on-chip (2026-08-20, batch 4096:
+# off 196.1 us/fleet-step, small 197.4, all 216.0 — the TPU scheduler
+# already overlaps the small matmuls with neighboring VPU kernels, so
+# concatenating their weights serializes the critical path; see
+# docs/notes/performance.md "Measured negatives"). Values agree across
+# modes to summation-order roundoff
+# (`tests/test_c172s.py::test_aero_bundle_matches_per_table`).
+_BUNDLE_AERO = False
+
+
 def get_aero_coeffs(alpha, beta, p_nd, q_nd, r_nd, da, dr, de, df,
                     alpha_dot_nd, beta_dot_nd, dh_nd, stall):
     """Coefficient assembly (`c172.jl:226-245`) with the reference's input
@@ -143,15 +159,49 @@ def get_aero_coeffs(alpha, beta, p_nd, q_nd, r_nd, da, dr, de, df,
     beta_dot_nd = jnp.clip(beta_dot_nd, -0.2, 0.2)
     stall = jnp.asarray(stall, dtype=alpha.dtype if hasattr(alpha, "dtype") else float)
 
-    C_D = (K["CD_zero"] + T["CD_ge"](dh_nd) * (T["CD_alpha_df"](alpha, df)
-           + T["CD_df"](df)) + T["CD_de"](de) + T["CD_beta"](beta))
-    C_Y = (K["CY_dr"] * dr + K["CY_da"] * da + T["CY_beta_df"](beta, df)
-           + T["CY_p"](alpha, df) * p_nd + T["CY_r"](alpha, df) * r_nd)
-    C_L = (T["CL_ge"](dh_nd) * (T["CL_alpha"](alpha, stall) + T["CL_df"](df))
+    # CD_beta/CD_de are symmetric two-segment tables evaluated strictly
+    # inside their knot span (beta clipped to ±0.2 above; de is a Ranged
+    # norm in [-1, 1]): 0.17|β| and 0.06|δe| EXACTLY reproduce the hat
+    # interpolation at 1 VPU op instead of a (B, 3) matmul each.
+    cd_beta = 0.17 * jnp.abs(beta)
+    cd_de = 0.06 * jnp.abs(de)
+
+    if _BUNDLE_AERO == "all":
+        (cd_df, cd_ge, cd_adf, cy_bdf, cy_p, cy_r, cl_ge, cl_a, cl_df,
+         cl_r, cm_df) = interp.eval_bundle([
+            (T["CD_df"], (df,)), (T["CD_ge"], (dh_nd,)),
+            (T["CD_alpha_df"], (alpha, df)), (T["CY_beta_df"], (beta, df)),
+            (T["CY_p"], (alpha, df)), (T["CY_r"], (alpha, df)),
+            (T["CL_ge"], (dh_nd,)), (T["CL_alpha"], (alpha, stall)),
+            (T["CL_df"], (df,)), (T["Cl_r"], (alpha, df)),
+            (T["Cm_df"], (df,))])
+    elif _BUNDLE_AERO == "small":
+        (cd_df, cd_ge, cy_bdf, cy_p, cy_r, cl_ge, cl_df, cl_r,
+         cm_df) = interp.eval_bundle([
+            (T["CD_df"], (df,)), (T["CD_ge"], (dh_nd,)),
+            (T["CY_beta_df"], (beta, df)),
+            (T["CY_p"], (alpha, df)), (T["CY_r"], (alpha, df)),
+            (T["CL_ge"], (dh_nd,)), (T["CL_df"], (df,)),
+            (T["Cl_r"], (alpha, df)), (T["Cm_df"], (df,))])
+        cd_adf = T["CD_alpha_df"](alpha, df)
+        cl_a = T["CL_alpha"](alpha, stall)
+    else:
+        cd_df, cd_ge, cd_adf = T["CD_df"](df), T["CD_ge"](dh_nd), \
+            T["CD_alpha_df"](alpha, df)
+        cy_bdf, cy_p, cy_r = T["CY_beta_df"](beta, df), \
+            T["CY_p"](alpha, df), T["CY_r"](alpha, df)
+        cl_ge, cl_a, cl_df = T["CL_ge"](dh_nd), \
+            T["CL_alpha"](alpha, stall), T["CL_df"](df)
+        cl_r, cm_df = T["Cl_r"](alpha, df), T["Cm_df"](df)
+
+    C_D = K["CD_zero"] + cd_ge * (cd_adf + cd_df) + cd_de + cd_beta
+    C_Y = (K["CY_dr"] * dr + K["CY_da"] * da + cy_bdf
+           + cy_p * p_nd + cy_r * r_nd)
+    C_L = (cl_ge * (cl_a + cl_df)
            + K["CL_de"] * de + K["CL_q"] * q_nd + K["CL_adot"] * alpha_dot_nd)
     C_l = (K["Cl_da"] * da + K["Cl_dr"] * dr + K["Cl_beta"] * beta
-           + K["Cl_p"] * p_nd + T["Cl_r"](alpha, df) * r_nd)
-    C_m = (K["Cm_zero"] + K["Cm_de"] * de + T["Cm_df"](df)
+           + K["Cl_p"] * p_nd + cl_r * r_nd)
+    C_m = (K["Cm_zero"] + K["Cm_de"] * de + cm_df
            + K["Cm_alpha"] * alpha + K["Cm_q"] * q_nd
            + K["Cm_adot"] * alpha_dot_nd)
     C_n = (K["Cn_dr"] * dr + K["Cn_da"] * da + K["Cn_beta"] * beta

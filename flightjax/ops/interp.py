@@ -36,11 +36,12 @@ _PRECISION = jax.lax.Precision.HIGH
 
 # First-axis contractions whose flattened output width R is at or below this
 # threshold run as a VPU broadcast-multiply-reduce instead of an MXU matmul.
-# For R=1 (the many tiny 1-D aero/engine tables) the (B, n0) x (n0, 1)
-# matvec pads to 128x128 MXU tiles at ~1/16000 utilization AND forces the
-# hat-weight tensor to materialize as a matmul operand; the mul+reduce form
-# fuses into the weight computation. A/B with tools/exp_matvec.py; on-chip
-# result recorded in docs/notes/performance.md ("VPU matvec threshold").
+# Measured NEGATIVE on-chip (tools/exp_matvec.py, 2026-08-20: threshold 1 =
+# 197.4 us/fleet-step vs 193.7 all-MXU at batch 4096 — the tiny matvecs
+# overlap neighboring VPU kernels, so moving their work onto the VPU adds
+# serial time; docs/notes/performance.md "VPU matvec threshold"). Ships 0
+# (disabled); the branch is kept for future shapes and stays covered by
+# tests/test_interp.py::test_dense_static_vpu_reduce_matches_matmul.
 _VPU_MAX_R = 0
 
 
@@ -414,6 +415,120 @@ class Lookup:
             v = v * w.reshape(batch_shape + (1,) * (v.ndim - len(batch_shape)))
             out = v if out is None else out + v
         return out
+
+
+def eval_bundle(queries):
+    """Evaluate many small dense static `Lookup`s in ONE MXU matmul.
+
+    `queries` is a sequence of `(lookup, coords)` pairs where every lookup
+    has concrete (non-traced) axes and values. Returns a list of outputs
+    aligned with `queries`, each of shape `batch + tail` where `batch` is
+    the COMMON broadcast of every query's batch shape (one weight matrix,
+    one matmul — a scalar query bundled with batched ones broadcasts up;
+    values equal the standalone `lookup(*coords)` call either way).
+
+    Why: the fleet step is fixed-overhead-bound, not traffic-bound
+    (docs/notes/performance.md — ~0.6% of the HBM roofline, ~425 sequential
+    fusion kernels x ~0.4 us). N separate table lookups pay N matmul
+    kernels plus their producer fusions. This bundles them: each table's
+    joint corner-weight vector (the outer product of its per-axis hat
+    weights — a few fused VPU ops) is concatenated into one wide weight
+    matrix and contracted once against a block-diagonal value matrix:
+
+        out = concat_j(w_joint_j) @ blockdiag_j(V_j)
+              # (B, sum N_j) x (sum N_j, sum R_j)
+
+    Off-block entries are exact 0.0, so each output column equals the
+    standalone matmul up to summation order (agreement verified to f64
+    roundoff in tests/test_interp_bundle.py). NOTE the distinction from
+    the measured-negative "joint outer-product weight + elementwise
+    reduce" form (performance.md): this keeps the contraction on the MXU
+    and removes N-1 matmul kernels rather than trading the MXU for the VPU.
+
+    Tables whose live coordinates depend on another table's OUTPUT cannot
+    share a bundle (e.g. piston `pi_wot(n, delta_wot(n, mu))`); split the
+    chain into dependency stages and bundle within each stage.
+    """
+    if _KRON_STATIC:
+        # Mosaic trace (ops.mathx.mosaic_safe): the bundle's minor-dim
+        # reshapes/concat don't lower — evaluate per-table via the kron
+        # contraction instead (correctness path; the Pallas cluster
+        # kernels were measured slower than XLA anyway)
+        return [lk(*coords) for lk, coords in queries]
+
+    n_q = len(queries)
+    outs = [None] * n_q
+    live_w = []      # per bundled query: (index, joint weight (B..., N))
+    live_v = []      # per bundled query: V flattened to (N, R) numpy
+    live_tail = []   # per bundled query: tail shape tuple
+    consts = []      # per constant query: (index, V numpy, tail, dtype)
+
+    for qi, (lk, coords) in enumerate(queries):
+        V = lk._static(lk.values)
+        axes_np = [lk._static(a) for a in lk.axes]
+        assert V is not None and all(a is not None for a in axes_np), \
+            "eval_bundle requires concrete (non-traced) axes and values"
+        assert len(coords) == len(lk.axes)
+        V = np.asarray(V)
+        live = []
+        for x, a, mode in zip(coords, axes_np, lk.extrap):
+            if a.shape[0] == 1:
+                V = V[(slice(None),) * len(live) + (0,)]
+            else:
+                live.append((jnp.asarray(x), a, mode))
+        tail = V.shape[len(live):]
+        if not live:
+            consts.append((qi, V, tail, jnp.asarray(coords[0]).dtype))
+            continue
+        xs = jnp.broadcast_arrays(*[x for x, _, _ in live])
+        w = lk._hat_weights_static(xs[0], live[0][1], live[0][2])
+        for i in range(1, len(live)):
+            wi = lk._hat_weights_static(xs[i], live[i][1], live[i][2])
+            w = (w[..., :, None] * wi[..., None, :]).reshape(
+                w.shape[:-1] + (w.shape[-1] * wi.shape[-1],))
+        live_w.append((qi, w))
+        R = int(np.prod(tail, dtype=np.int64)) if tail else 1
+        live_v.append(V.reshape(-1, R))
+        live_tail.append(tail)
+
+    batch = jnp.broadcast_shapes(
+        *[w.shape[:-1] for _, w in live_w],
+        *[jnp.shape(c) for _, coords in queries for c in coords])
+    for qi, V, tail, dt_c in consts:
+        outs[qi] = jnp.broadcast_to(jnp.asarray(V, dt_c), batch + tail)
+    if not live_w:
+        return outs
+    if len(live_w) == 1:
+        # degenerate bundle: fall back to the standalone dense path (same
+        # matmul; skips the pointless block-diag padding)
+        qi, _ = live_w[0]
+        lk, coords = queries[qi]
+        outs[qi] = jnp.broadcast_to(lk(*coords), batch + live_tail[0])
+        return outs
+
+    nb = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    dt = jnp.result_type(*[w.dtype for _, w in live_w])
+    W = jnp.concatenate(
+        [jnp.broadcast_to(w, batch + w.shape[-1:]).reshape(nb, w.shape[-1])
+         .astype(dt) for _, w in live_w], axis=1)
+
+    Ns = [v.shape[0] for v in live_v]
+    Rs = [v.shape[1] for v in live_v]
+    Vb = np.zeros((sum(Ns), sum(Rs)))
+    r0 = c0 = 0
+    for v in live_v:
+        Vb[r0:r0 + v.shape[0], c0:c0 + v.shape[1]] = v
+        r0 += v.shape[0]
+        c0 += v.shape[1]
+    out = jnp.matmul(W, jnp.asarray(Vb, dt), precision=_PRECISION)
+
+    c0 = 0
+    for (qi, _), R, tail in zip(live_w, Rs, live_tail):
+        col = out[:, c0:c0 + R]
+        c0 += R
+        outs[qi] = col.reshape(batch + tail) if tail else \
+            col.reshape(batch)
+    return outs
 
 
 def uniform_axis(lo, hi, n):

@@ -22,7 +22,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from flightjax.core.modeling import Component
+from flightjax.ops import interp
 from flightjax.ops.interp import Lookup
+
+# Bundle the engine chart lookups into per-dependency-stage matmuls
+# (7 kernels -> 4; see PistonEngine.f_ode). Measured NEGATIVE on-chip
+# (tools/exp_bundle.py, 2026-08-20: 208.2 vs 196.1 us/fleet-step at
+# batch 4096 — same scheduler-overlap effect as the aero bundle; see
+# docs/notes/performance.md "Measured negatives"), so ships False.
+_BUNDLE_ENGINE = False
 from flightjax.physics import control as C
 from flightjax.physics.atmosphere import (AirData, G_STD, P_STD, R_GAS,
                                           RHO_STD, T_STD)
@@ -224,25 +232,54 @@ class PistonEngine(Component):
         mu_ratio_idle = 0.5 + idle_out.output
         n = omega / self.omega_rated
         delta = p2delta(air.p)
-        mu_wot = self.tables["mu_wot"](n, delta)
-        mu = mu_wot * (mu_ratio_idle + throttle * (1.0 - mu_ratio_idle))
 
         k_f = 1.0 / jnp.sqrt(air.rho / RHO_STD)
         f_target = F_LEAN + mixture * (F_RICH - F_LEAN)
         mixture_pos = jnp.where(u["mixture_ctl"] == MIX_MANUAL,
                                 0.5 * (mixture + 1.0),
                                 f_target / (k_f * F_RICH))
-
-        # running-state quantities (`:388-413`)
         f_run = k_f * F_RICH * mixture_pos
-        pi_isa = compute_pi_isa_pow(self.tables, n, mu, delta)
+
+        # The 7 chart lookups split into 4 dependency stages; with
+        # `_BUNDLE_ENGINE` each stage bundles into ONE matmul kernel
+        # (`interp.eval_bundle` — the step is fixed-overhead-bound, see
+        # docs/notes/performance.md; A/B with tools/exp_bundle.py):
+        #   A: mu_wot(n,delta) + the two f_run corrections  (independent)
+        #   B: delta_wot(n,mu) + pi_std(n,mu)               (need mu <- A)
+        #   C: pi_wot(n, delta_wot)                         (needs B)
+        #   D: sfc_pow(n, pi_actual)                        (needs C)
+        T = self.tables
+        if _BUNDLE_ENGINE:
+            mu_wot, pi_ratio_f, sfc_ratio_f = interp.eval_bundle([
+                (T["mu_wot"], (n, delta)), (T["pi_ratio"], (f_run,)),
+                (T["sfc_ratio"], (f_run,))])
+        else:
+            mu_wot = T["mu_wot"](n, delta)
+            pi_ratio_f = T["pi_ratio"](f_run)
+            sfc_ratio_f = T["sfc_ratio"](f_run)
+        mu = mu_wot * (mu_ratio_idle + throttle * (1.0 - mu_ratio_idle))
+
+        # running-state quantities (`:388-413`); the pi_isa formula is
+        # `compute_pi_isa_pow` with stage-B bundled (same math)
+        if _BUNDLE_ENGINE:
+            delta_wot, pi_std = interp.eval_bundle([
+                (T["delta_wot"], (n, mu)), (T["pi_std"], (n, mu))])
+        else:
+            delta_wot = T["delta_wot"](n, mu)
+            pi_std = T["pi_std"](n, mu)
+        pi_wot = T["pi_wot"](n, delta_wot)
+        denom = delta_wot - 1.0
+        degenerate = jnp.abs(denom) < 5e-3
+        denom_safe = jnp.where(degenerate, 1.0, denom)
+        pi_interp = pi_std + (pi_wot - pi_std) / denom_safe * (delta - 1.0)
+        pi_isa = jnp.maximum(jnp.where(degenerate, pi_std, pi_interp), 0.0)
+
         pi_pow = pi_isa * jnp.sqrt(T_ISA(air.p) / air.T)
-        pi_actual = pi_pow * self.tables["pi_ratio"](f_run)
+        pi_actual = pi_pow * pi_ratio_f
         P_run = self.P_rated * pi_actual
         omega_safe = jnp.where(omega > 1e-3, omega, 1.0)
         tau_run = jnp.where(omega > 0, P_run / omega_safe, 0.0)
-        SFC_run = (self.tables["sfc_pow"](n, pi_actual)
-                   * self.tables["sfc_ratio"](f_run))
+        SFC_run = T["sfc_pow"](n, pi_actual) * sfc_ratio_f
         mdot_run = SFC_run * P_run
 
         # off-state friction brake (`:363-377`)

@@ -140,3 +140,50 @@ def test_elevator_pitch_sign(lss):
     qi = lss.x_labels.index("q")
     ei = lss.u_labels.index("elevator")
     assert lss.B[qi, ei] > 0.1
+
+
+def test_aero_bundle_matches_per_table():
+    """The bundled (one-matmul) aero coefficient path must agree with the
+    per-table lookups to summation-order roundoff, and the algebraic
+    CD_beta/CD_de forms must be exact inside their guaranteed input
+    domains (beta clipped to ±0.2; |de| <= 0.489 rad from de_range)."""
+    rng = np.random.default_rng(11)
+    B = 257
+    args = dict(
+        alpha=jnp.asarray(rng.uniform(-0.2, 0.5, B)),
+        beta=jnp.asarray(rng.uniform(-0.4, 0.4, B)),
+        p_nd=jnp.asarray(rng.normal(0, 0.05, B)),
+        q_nd=jnp.asarray(rng.normal(0, 0.05, B)),
+        r_nd=jnp.asarray(rng.normal(0, 0.05, B)),
+        da=jnp.asarray(rng.uniform(-0.35, 0.35, B)),
+        dr=jnp.asarray(rng.uniform(-0.28, 0.28, B)),
+        de=jnp.asarray(rng.uniform(-0.489, 0.401, B)),
+        df=jnp.asarray(rng.uniform(0, 0.53, B)),
+        alpha_dot_nd=jnp.asarray(rng.normal(0, 0.02, B)),
+        beta_dot_nd=jnp.asarray(rng.normal(0, 0.1, B)),
+        dh_nd=jnp.asarray(rng.uniform(0, 1.2, B)),
+        stall=jnp.asarray(rng.integers(0, 2, B), float),
+    )
+    shipped = C172._BUNDLE_AERO
+    try:
+        C172._BUNDLE_AERO = False
+        b = C172.get_aero_coeffs(**args)
+        for mode in ("small", "all"):
+            C172._BUNDLE_AERO = mode
+            a = C172.get_aero_coeffs(**args)
+            for f in a._fields:
+                np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                           np.asarray(getattr(b, f)),
+                                           rtol=0, atol=5e-15)
+    finally:
+        C172._BUNDLE_AERO = shipped
+    # algebraic CD_beta/CD_de vs the tables they replace (the hat-weight
+    # path rounds 1-(1-x) at ~2e-16 rel; the algebraic form is exact)
+    T = C172.AERO_TABLES
+    beta = jnp.clip(args["beta"], -0.2, 0.2)
+    np.testing.assert_allclose(np.asarray(0.17 * jnp.abs(beta)),
+                               np.asarray(T["CD_beta"](beta)),
+                               rtol=1e-13, atol=0)
+    np.testing.assert_allclose(np.asarray(0.06 * jnp.abs(args["de"])),
+                               np.asarray(T["CD_de"](args["de"])),
+                               rtol=1e-13, atol=0)

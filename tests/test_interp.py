@@ -170,4 +170,84 @@ def test_mosaic_safe_toggles_kron_path():
     assert interp._KRON_STATIC is False
 
 
+def test_eval_bundle_matches_standalone_randomized():
+    """`eval_bundle` (one block-diagonal MXU matmul for many tables) must
+    agree with per-table standalone evaluation to f64 roundoff across
+    dims, extrapolation modes, degenerate axes, trailing value dims, and
+    mixed batch shapes (incl. scalar queries broadcasting against batched
+    ones)."""
+    from flightjax.ops.interp import eval_bundle
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        n_tables = int(rng.integers(2, 7))
+        queries = []
+        for _ in range(n_tables):
+            d = int(rng.integers(1, 4))
+            axes = [np.sort(rng.uniform(-2, 2, int(rng.integers(2, 9))))
+                    for _ in range(d)]
+            if rng.random() < 0.25:
+                axes[int(rng.integers(0, d))] = np.array([0.5])
+            trailing = (int(rng.integers(2, 5)),) if rng.random() < 0.4 else ()
+            vals = rng.normal(size=tuple(len(a) for a in axes) + trailing)
+            extrap = tuple(rng.choice(["flat", "line"]) for _ in range(d))
+            lk = Lookup(axes, vals, extrap, dense=True)
+            # mix batched and scalar coords; queries land in- and out-of-grid
+            coords = tuple(
+                jnp.asarray(rng.uniform(-3, 3, 17)) if rng.random() < 0.8
+                else jnp.asarray(rng.uniform(-3, 3))
+                for _ in range(d))
+            queries.append((lk, coords))
+        bundled = eval_bundle(queries)
+        # outputs broadcast to the COMMON batch of the whole bundle
+        batch = jnp.broadcast_shapes(
+            *[jnp.broadcast_shapes(*[jnp.shape(c) for c in coords])
+              for _, coords in queries])
+        for (lk, coords), got in zip(queries, bundled):
+            want = lk(*coords)
+            tail = want.shape[len(jnp.broadcast_shapes(
+                *[jnp.shape(c) for c in coords])):]
+            want = jnp.broadcast_to(want, batch + tail)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-12, atol=1e-12)
+
+
+def test_eval_bundle_single_and_constant():
+    """Degenerate bundles: a single live table falls back to the standalone
+    path; an all-degenerate-axes table broadcasts its constant."""
+    from flightjax.ops.interp import eval_bundle
+
+    lk = Lookup([np.array([0.0, 1.0])], np.array([1.0, 3.0]))
+    (out,) = eval_bundle([(lk, (jnp.asarray([0.5, 0.25]),))])
+    np.testing.assert_allclose(np.asarray(out), [2.0, 1.5])
+
+    const = Lookup([np.array([0.5])], np.array([7.0]))
+    outs = eval_bundle([(const, (jnp.asarray([1.0, 2.0, 3.0]),)),
+                        (lk, (jnp.asarray([0.5, 0.25, 1.0]),))])
+    np.testing.assert_allclose(np.asarray(outs[0]), [7.0, 7.0, 7.0])
+    np.testing.assert_allclose(np.asarray(outs[1]), [2.0, 1.5, 3.0])
+
+
+def test_eval_bundle_jit_grad():
+    """Bundled evaluation works under jit and is differentiable."""
+    from flightjax.ops.interp import eval_bundle
+
+    a = Lookup([np.array([0.0, 1.0, 2.0])], np.array([0.0, 1.0, 4.0]))
+    b = Lookup([np.array([0.0, 2.0])], np.array([[1.0, 2.0], [3.0, 4.0]]))
+
+    def f(x):
+        oa, ob = eval_bundle([(a, (x,)), (b, (x,))])
+        return oa + jnp.sum(ob, axis=-1)
+
+    x = jnp.asarray([0.5, 1.5])
+    np.testing.assert_allclose(np.asarray(jax.jit(f)(x)),
+                               np.asarray(f(x)), rtol=1e-12)
+    g = jax.grad(lambda x: jnp.sum(f(x)))(x)
+    # d/dx of a: 1 on [0,1], 3 on [1,2]; of sum(b): (2-1)+(4-2) = wrong —
+    # b rows are knots: sum(b) goes 3 -> 7 over x in [0,2] => slope 2
+    np.testing.assert_allclose(np.asarray(g), [1.0 + 2.0, 3.0 + 2.0],
+                               rtol=1e-12)
+
+
 pytestmark = pytest.mark.fast
