@@ -375,7 +375,7 @@ class Simulation:
     # ------------------------------------------------------------------- run
 
     def run(self, state: SimState, t_end, ctx=(), save_every=1, save_y=True,
-            t0=None, dispatch_blocks=None):
+            t0=None, dispatch_blocks=None, unroll=1):
         """Scan the step function until t_end. Returns (final_state,
         TimeSeries) where the TimeSeries holds every `save_every`-th step's
         (t, y) — the reference's `saveat` thinning (`sim.jl:211`).
@@ -388,7 +388,13 @@ class Simulation:
         as one XLA execution can exceed accelerator watchdog limits (the
         600 s autopilot flight is ~60 s of device time in one dispatch);
         with a cap, the outer loop runs host-side over identical jitted
-        chunks (one compilation, many short dispatches)."""
+        chunks (one compilation, many short dispatches).
+
+        `unroll`: XLA scan-body unroll factor for the inner (per-step)
+        scan. Unrolling lets XLA fuse across step boundaries, amortizing
+        per-kernel dispatch overhead — the dominant cost of small-batch /
+        single-vehicle steps (see docs/notes/performance.md); the fleet
+        path (`fleet_rollout`) exposes the same knob."""
         state = canonical(state)  # weak-typed leaves would force a retrace
         if t0 is None:
             try:
@@ -400,7 +406,7 @@ class Simulation:
         n_steps = int(round((float(t_end) - t0) / self.dt))
         n_blocks, rem = divmod(n_steps, save_every)
 
-        scan_blocks = self._jit_scan_blocks(save_every, save_y)
+        scan_blocks = self._jit_scan_blocks(save_every, save_y, unroll)
         if dispatch_blocks is None or n_blocks <= dispatch_blocks:
             state, (ts, ys) = scan_blocks(state, ctx, k=n_blocks)
         else:
@@ -422,11 +428,11 @@ class Simulation:
                 state = step_fn(state, ctx)
         return state, TimeSeries(ts, ys)
 
-    def _jit_scan_blocks(self, save_every, save_y):
-        """Jitted `k`-block scan for run(), cached per (save_every, save_y)
-        so repeated run() calls on matching state shapes reuse one XLA
-        executable (only `k` changes force a fresh compile)."""
-        key = ("blocks", save_every, save_y)
+    def _jit_scan_blocks(self, save_every, save_y, unroll=1):
+        """Jitted `k`-block scan for run(), cached per (save_every, save_y,
+        unroll) so repeated run() calls on matching state shapes reuse one
+        XLA executable (only `k` changes force a fresh compile)."""
+        key = ("blocks", save_every, save_y, unroll)
         fn = self._run_cache.get(key)
         if fn is None:
             @partial(jax.jit, static_argnames=("k",))
@@ -435,7 +441,8 @@ class Simulation:
                     return self.step(st, ctx), None
 
                 def body(st, _):
-                    st, _ = jax.lax.scan(inner, st, None, length=save_every)
+                    st, _ = jax.lax.scan(inner, st, None, length=save_every,
+                                         unroll=unroll)
                     y = self.output(st, ctx) if save_y else None
                     return st, (st.t, y)
 

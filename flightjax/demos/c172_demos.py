@@ -106,14 +106,14 @@ def turning_climb_setup(dt=0.01, EAS_ref=40.0, clm_ref=2.0,
 
 def turning_climb(t_end=600.0, dt=0.01, EAS_ref=40.0, clm_ref=2.0,
                   chi_ref=np.pi / 2, wind_n=(2.0, 3.0, 0.0),
-                  save_every=100, gains=None, rig=None):
+                  save_every=100, gains=None, rig=None, unroll=1):
     """600 s autopilot climb: EAS + climb-rate hold, course capture, wind
     (`c172_demos.jl:214-259`). `rig` = cached `turning_climb_setup()`
     output to skip the trim solve."""
     sim, state = (turning_climb_setup(dt, EAS_ref, clm_ref, chi_ref,
                                       wind_n, gains) if rig is None else rig)
     final, log = sim.run(state, t_end=t_end, t0=0.0, save_every=save_every,
-                         dispatch_blocks=10)
+                         dispatch_blocks=10, unroll=unroll)
     return final, log
 
 

@@ -30,7 +30,6 @@ import numpy as np
 
 from flightjax.core.modeling import Component, bwhere, match_vma
 from flightjax.ops.quaternions import qmul, qconj, qrot, qrot_inv
-from flightjax.ops import geodesy as geo
 from flightjax.ops import attitude as att
 from flightjax.physics import control as C
 from flightjax.physics.dynamics import Wrench, FrameTransform, translate_wrench
@@ -203,27 +202,37 @@ class LandingGearUnit(Component):
         against the wow=false defaults."""
         q_bs, r_bs_b, l_0 = jnp.asarray(self.q_bs), jnp.asarray(self.r_bs), self.l_0
         q_eb, q_nb, q_en = kin.q_eb, kin.q_nb, kin.q_en
-        r_eb_e, v_eb_b, omega_eb_b = kin.r_eb_e, kin.v_eb_b, kin.omega_eb_b
+        v_eb_b, omega_eb_b = kin.v_eb_b, kin.omega_eb_b
 
-        # natural-length wheel endpoint vs terrain height -> wow.
-        # The geoid undulation at the wheel is taken from the vehicle
-        # location (N = h_e - h_o, already computed by the kinematics) —
-        # the wheel sits metres from Ob, where N differs by ~3e-5 m on the
-        # 15-arcmin EGM96 grid, far below the contact dynamics scale; this
-        # avoids a second 721x1441 table gather per leg (the single hottest
-        # op on TPU).
+        # natural-length wheel endpoint vs terrain height -> wow
+        # (`landinggear.jl:228-255`). The wheel-endpoint geodetic solution
+        # is a first-order perturbation of the vehicle's (n_e, h_e), which
+        # the kinematics already carry exactly:
+        #   h_w0   = h_e + d_e . n_e        (n-vector = ellipsoid up)
+        #   r_st_e = l_0 ks_e - delta_h n_e
+        # instead of a second Fukushima Cartesian->geodetic solve + forward
+        # transform per leg per stage. Errors over the ~3 m lever arm are
+        # curvature-bounded: |d|^2/(2R) ~ 7e-7 m in h_w0 and ~3e-7 m in
+        # r_st_e — far below the contact-dynamics scale (and the geoid
+        # undulation N = h_e - h_o differs by ~3e-5 m across the wheelbase
+        # on the 15-arcmin EGM96 grid). On the f32 fleet path this form is
+        # strictly MORE accurate than the solve it replaces: it never
+        # subtracts ~6.4e6 m ECEF coordinates to get a ~1 m result (0.5 m
+        # f32 ulp noise), it works entirely in leg-scale quantities.
+        # Exactness vs the two-transform form: tests/test_landinggear.py::
+        # test_strut_perturbation_matches_exact_geodesy.
         q_es = qmul(q_eb, q_bs)
         ks_e = qrot(q_es, E3)
         r_bs_e = qrot(q_eb, r_bs_b)
-        r_ew0_e = r_eb_e + r_bs_e + l_0 * ks_e
-        n_e_w0, h_e_w0 = geo.geographic_from_cartesian(r_ew0_e)
+        n_up_e = kin.n_e
+        d_e = r_bs_e + l_0 * ks_e
+        h_e_w0 = kin.h_e + _dot(d_e, n_up_e)
         h_e_trn = trn.elevation + (kin.h_e - kin.h_o)
         delta_h = h_e_w0 - h_e_trn
         wow = delta_h <= 0
 
-        # terrain point position
-        r_et_e = geo.cartesian_from_geographic(n_e_w0, h_e_trn)
-        r_st_e = r_et_e - (r_eb_e + r_bs_e)
+        # strut-top -> terrain-point vector, in leg-scale quantities
+        r_st_e = l_0 * ks_e - delta_h * n_up_e
 
         ut_n = trn.normal
         ut_e = qrot(q_en, ut_n)
@@ -459,12 +468,11 @@ class GearSet:
         - crashed: False (wow false, xi_dot masked to 0);
         - every other StrutY/ContactY field: the same masked defaults.
 
-        The ONLY approximated field is the logged diagnostic `delta_h`
-        (wheel clearance): the wheel-endpoint height is taken along the
-        local geodetic down axis instead of a second Fukushima
-        Cartesian->geodetic solve per leg; the curvature error over the
-        ~3 m lever arm is <1e-6 m. It never gates anything while the fleet
-        predicate keeps this branch airborne-only."""
+        `delta_h` (wheel clearance) uses the same first-order
+        local-frame form as the full path's `strut_y` (wheel-endpoint
+        height perturbed off the vehicle's (n_e, h_e) along the ellipsoid
+        normal), so the two cond branches agree on it exactly for the
+        GearSet's l_0 = 0 legs."""
         n = self.n
         frc_dot, frc_out = C.pi_ode(self.unit.frc, x["frc"],
                                     jnp.zeros_like(x["frc"]))

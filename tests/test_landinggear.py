@@ -176,4 +176,70 @@ def test_gearset_per_leg_matches_vmapped():
         assert bool(jnp.all(sy.xi_dot == sy_ref.xi_dot[i]))
 
 
+def test_strut_perturbation_matches_exact_geodesy():
+    """`strut_y` computes the wheel-endpoint geodetic solution as a
+    first-order perturbation of the vehicle's (n_e, h_e) instead of a
+    second Fukushima solve + forward transform per leg
+    (`landinggear.jl:228-255` does the exact transforms). The curvature
+    error over the ~2-4 m lever arm must stay below 1e-5 m — orders of
+    magnitude under the contact-dynamics scale."""
+    from flightjax.ops.quaternions import qmul, qrot
+    from flightjax.physics.landinggear import E3
+
+    unit = make_unit(steering={"psi_max": np.pi / 6})
+    trn = TRN.terrain_data(TRN.init_u())
+    h_e_gnd = geo.ellip_from_orth(0.0, geo.nvector_from_latlon(0.83, 0.228))
+
+    # mid-latitude (~LOWS), banked+pitched attitude so the lever arm has
+    # horizontal components, slight compression so wow=True
+    ic = kin_init(lat=0.83, lon=0.228, h=float(h_e_gnd) + 1.9 - 0.08,
+                  euler=(0.7, 0.06, -0.04), v_eb_n=np.asarray([3.0, 1.0, 0.1]))
+    kin = kin_data_from_init(ic)
+    u = {"steering": jnp.asarray(0.4), "braking": jnp.asarray(0.2)}
+
+    strut = unit.strut_y(u, kin, trn)
+    assert bool(strut.wow)
+
+    # exact two-transform geometry, inline (the form strut_y replaced)
+    q_bs = jnp.asarray(unit.q_bs)
+    r_bs_b = jnp.asarray(unit.r_bs, jnp.float64)
+    ks_e = qrot(qmul(kin.q_eb, q_bs), jnp.asarray(E3))
+    r_bs_e = qrot(kin.q_eb, r_bs_b)
+    r_ew0_e = kin.r_eb_e + r_bs_e + unit.l_0 * ks_e
+    n_e_w0, h_e_w0 = geo.geographic_from_cartesian(r_ew0_e)
+    h_e_trn = trn.elevation + (kin.h_e - kin.h_o)
+    delta_h_exact = h_e_w0 - h_e_trn
+    r_et_e = geo.cartesian_from_geographic(n_e_w0, h_e_trn)
+    r_st_e_exact = r_et_e - (kin.r_eb_e + r_bs_e)
+    r_st_e_pert = unit.l_0 * ks_e - strut.delta_h * kin.n_e
+
+    assert abs(float(strut.delta_h - delta_h_exact)) < 1e-5
+    np.testing.assert_allclose(np.asarray(r_st_e_pert),
+                               np.asarray(r_st_e_exact), atol=1e-5)
+
+    # and the quantities dynamics consumes agree through the full chain
+    ut_e = qrot(kin.q_en, trn.normal)
+    l_exact = jnp.dot(ut_e, r_st_e_exact) / jnp.dot(ut_e, ks_e)
+    xi_exact = jnp.minimum(0.0, l_exact - unit.l_0)
+    assert abs(float(strut.xi - xi_exact)) < 1e-5
+    _, y = run_ode(unit, kin, u=u)
+    assert np.all(np.isfinite(np.asarray(y.contact.wr_b.F)))
+
+    # f32 robustness: the perturbation form never subtracts ~6.4e6 m ECEF
+    # coordinates to get a ~0.1 m result, so single-precision strut
+    # geometry stays at h_e-ulp accuracy (~1e-4 m) instead of the ~0.5 m
+    # cancellation noise of the two-transform form — this is what makes
+    # ground contact usable on the f32 fleet fast path.
+    kin32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, kin)
+    trn32 = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float32)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, trn)
+    u32 = jax.tree.map(lambda a: a.astype(jnp.float32), u)
+    strut32 = unit.strut_y(u32, kin32, trn32)
+    assert abs(float(strut32.delta_h) - float(strut.delta_h)) < 1e-3
+    assert abs(float(strut32.xi) - float(strut.xi)) < 1e-3
+
+
 pytestmark = pytest.mark.fast

@@ -286,4 +286,18 @@ def test_comp_predicate_selects_position_states():
     }
 
 
+def test_run_unroll_bit_exact():
+    """`run(unroll=k)` repeats the identical step body inside the scan —
+    trajectories must be bit-exact vs unroll=1 (incl. the periodic
+    impulses and the save cadence)."""
+    sim = Simulation(FirstOrder(), dt=0.02, periodic_dt=0.1)
+    st0 = sim.init()._replace(u=jnp.asarray(0.7))
+    ref, ts_ref = sim.run(st0, t_end=2.0, save_every=5)
+    for k in (2, 4):
+        st, ts = sim.run(st0, t_end=2.0, save_every=5, unroll=k)
+        assert bool(jnp.all(st.x == ref.x))
+        assert bool(jnp.all(ts.t == ts_ref.t))
+        assert bool(jnp.all(ts.y == ts_ref.y))
+
+
 pytestmark = pytest.mark.fast
