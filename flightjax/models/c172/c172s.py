@@ -80,10 +80,12 @@ class MechanicalActuation:
         return dict(u), asg, {}
 
 
-def build_vehicle(kinematics="wa", atmosphere=None, terrain=None) -> Vehicle:
+def build_vehicle(kinematics="wa", atmosphere=None, terrain=None,
+                  turbulence=None) -> Vehicle:
     kin = {"wa": K.WA, "ecef": K.ECEF, "ned": K.NED}[kinematics]()
     systems = C172.Systems(power_plant(), MechanicalActuation())
-    return Vehicle(systems, kin, atmosphere=atmosphere, terrain=terrain)
+    return Vehicle(systems, kin, atmosphere=atmosphere, terrain=terrain,
+                   turbulence=turbulence)
 
 
 def build_aircraft(kinematics="wa", avionics=None, **kw) -> Aircraft:

@@ -168,10 +168,11 @@ class FlyByWireActuation:
 
 
 def build_vehicle(kinematics="wa", atmosphere=None, terrain=None,
-                  actuators=None) -> Vehicle:
+                  actuators=None, turbulence=None) -> Vehicle:
     kin = {"wa": K.WA, "ecef": K.ECEF, "ned": K.NED}[kinematics]()
     systems = C172.Systems(power_plant(), FlyByWireActuation(actuators))
-    return Vehicle(systems, kin, atmosphere=atmosphere, terrain=terrain)
+    return Vehicle(systems, kin, atmosphere=atmosphere, terrain=terrain,
+                   turbulence=turbulence)
 
 
 def build_aircraft(kinematics="wa", avionics=None, **kw) -> Aircraft:

@@ -89,6 +89,13 @@ def monte_carlo_c172(state, key, wind_std=5.0, payload_std=15.0,
     sys_u["pld"] = pld
     veh_u["systems"] = sys_u
 
+    # Dryden turbulence (optional, physics/turbulence.py): give every lane
+    # its own counter-based noise stream; W20/severity stays whatever the
+    # caller set (0 = off, the init default)
+    if "turb" in veh_u:
+        veh_u["turb"] = dict(veh_u["turb"],
+                             seed=jnp.arange(batch, dtype=jnp.int32))
+
     x = state.x
     veh_x = dict(x["vehicle"])
     sys_x = dict(veh_x["systems"])

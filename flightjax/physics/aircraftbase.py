@@ -117,25 +117,36 @@ class Vehicle(Component):
 
     def __init__(self, systems, kinematics,
                  atmosphere: SimpleAtmosphere = None,
-                 terrain: HorizontalTerrain = None):
+                 terrain: HorizontalTerrain = None,
+                 turbulence=None):
         # systems=None mirrors the reference default (`aircraftbase.jl:51`)
         self.systems = systems if systems is not None else NoVehicleSystems()
         self.kinematics = kinematics
         self.dynamics = VehicleDynamics()
         self.atmosphere = atmosphere if atmosphere is not None else SimpleAtmosphere()
         self.terrain = terrain if terrain is not None else HorizontalTerrain()
+        # optional Dryden gust model (physics/turbulence.py) — beyond the
+        # reference (its wind is uniform only, `atmosphere.jl:151-181`).
+        # None keeps the state tree identical to the turbulence-free build.
+        self.turbulence = turbulence
 
     # x/u/s layout: atmosphere and terrain inputs ride in the vehicle u so a
     # fleet can see per-lane winds/surfaces
     def init_x(self, kin_init=None, **sys_kw):
-        return {"kinematics": self.kinematics.init_x(kin_init),
-                "dynamics": self.kinematics.init_u(kin_init),
-                "systems": self.systems.init_x(**sys_kw)}
+        x = {"kinematics": self.kinematics.init_x(kin_init),
+             "dynamics": self.kinematics.init_u(kin_init),
+             "systems": self.systems.init_x(**sys_kw)}
+        if self.turbulence is not None:
+            x["turb"] = self.turbulence.init_x()
+        return x
 
     def init_u(self):
-        return {"systems": self.systems.init_u(),
-                "atm": self.atmosphere.init_u(),
-                "trn": self.terrain.init_u()}
+        u = {"systems": self.systems.init_u(),
+             "atm": self.atmosphere.init_u(),
+             "trn": self.terrain.init_u()}
+        if self.turbulence is not None:
+            u["turb"] = self.turbulence.init_u()
+        return u
 
     def init_s(self, x=None, **kw):
         """`x` (the vehicle continuous state) seeds the carried geoid
@@ -148,15 +159,36 @@ class Vehicle(Component):
             N = geoid_height(kin.n_e)
         else:
             N = jnp.asarray(0.0)
-        return {"systems": self.systems.init_s(**kw), "geoid_N": N}
+        s = {"systems": self.systems.init_s(**kw), "geoid_N": N}
+        if self.turbulence is not None:
+            s["turb"] = self.turbulence.init_s()
+        return s
+
+    def _turb_condition(self, kin, atm_data, trn_fn):
+        """(V_rel, h_AGL) driving the Dryden scale lengths: airspeed
+        relative to the MEAN wind (so the gust never feeds back into its
+        own filter coefficients) and height above the terrain."""
+        from flightjax.ops.quaternions import qrot_inv
+        v_ew_b = qrot_inv(kin.q_nb, atm_data.v)
+        V = jnp.linalg.norm(kin.v_eb_b - v_ew_b, axis=-1)
+        h_agl = kin.h_o - trn_fn().elevation
+        return V, h_agl
+
+    def _apply_gust(self, atm_data, kin, gust_b):
+        from flightjax.ops.quaternions import qrot
+        return atm_data._replace(v=atm_data.v + qrot(kin.q_nb, gust_b))
 
     def _context(self, x, u, s):
         """KinData, AirData, terrain query fn at the current state."""
         _, kin = self.kinematics.f_ode(x["kinematics"], x["dynamics"],
                                        s["geoid_N"], 0.0)
         atm_data = self.atmosphere.atmospheric_data(u["atm"], kin.n_e, kin.h_o)
-        air = air_data(atm_data, kin)
         trn_fn = lambda n_e=None: self.terrain.terrain_data(u["trn"], n_e)
+        if self.turbulence is not None:
+            V, h_agl = self._turb_condition(kin, atm_data, trn_fn)
+            gust_b = self.turbulence.gust(x["turb"], u["turb"], V, h_agl)
+            atm_data = self._apply_gust(atm_data, kin, gust_b)
+        air = air_data(atm_data, kin)
         return kin, air, trn_fn
 
     def f_ode(self, x, u, s, t):
@@ -164,8 +196,14 @@ class Vehicle(Component):
         kin_dot, kin = self.kinematics.f_ode(x["kinematics"], x["dynamics"],
                                              s["geoid_N"], t)
         atm_data = self.atmosphere.atmospheric_data(u["atm"], kin.n_e, kin.h_o)
-        air = air_data(atm_data, kin)
         trn_fn = lambda n_e=None: self.terrain.terrain_data(u["trn"], n_e)
+        turb_dot = None
+        if self.turbulence is not None:
+            V, h_agl = self._turb_condition(kin, atm_data, trn_fn)
+            turb_dot, gust_b = self.turbulence.f_ode(
+                x["turb"], u["turb"], s["turb"], t, V, h_agl)
+            atm_data = self._apply_gust(atm_data, kin, gust_b)
+        air = air_data(atm_data, kin)
 
         sys_dot, sys_y = self.systems.f_ode(x["systems"], u["systems"],
                                             s["systems"], t, kin, air, trn_fn)
@@ -177,6 +215,8 @@ class Vehicle(Component):
 
         x_dot = {"kinematics": kin_dot, "dynamics": dyn_dot,
                  "systems": sys_dot}
+        if turb_dot is not None:
+            x_dot["turb"] = turb_dot
         return x_dot, VehicleY(systems=sys_y, kinematics=kin,
                                dynamics=dyn_y, airflow=air)
 
@@ -203,7 +243,11 @@ class Vehicle(Component):
                                            s["systems"], t, kin, air, trn_fn)
         in_step = self.geoid_in_step and not _geoid_deferred.get()
         N = geoid_height(kin.n_e) if in_step else s["geoid_N"]
-        return dict(x, systems=sys_x), dict(s, systems=sys_s, geoid_N=N)
+        s2 = dict(s, systems=sys_s, geoid_N=N)
+        if self.turbulence is not None:
+            _, s2["turb"] = self.turbulence.f_step(x["turb"], u["turb"],
+                                                   s["turb"], t)
+        return dict(x, systems=sys_x), s2
 
     def refresh_geoid(self, x, s):
         """External once-per-step geoid refresh for geoid_in_step=False."""

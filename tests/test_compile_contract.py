@@ -98,10 +98,10 @@ def test_c172xv1_mode_switch_no_retrace():
 
 def test_run_reuses_executable_across_calls():
     """`Simulation.run` must not re-trace on repeated calls: the block-scan
-    closures are cached per (save_every, save_y) on the Simulation, with
-    ctx as a traced argument. A second run over the same shapes — and runs
-    from the returned (matching-shape) state — must hit the same compiled
-    executable."""
+    closures are cached per (save_every, save_y, unroll) on the Simulation,
+    with ctx as a traced argument. A second run over the same shapes — and
+    runs from the returned (matching-shape) state — must hit the same
+    compiled executable."""
     from flightjax.models.robot2d import Robot
 
     sim = Simulation(Robot(), dt=0.01, periodic_dt=0.02)
@@ -112,7 +112,7 @@ def test_run_reuses_executable_across_calls():
     # continue from the final state: same shapes, same k -> same executable
     st3, _ = sim.run(st1, t_end=2.0, t0=1.0, save_every=10)
 
-    scan_blocks = sim._run_cache[("blocks", 10, True)]
+    scan_blocks = sim._run_cache[("blocks", 10, True, 1)]
     assert _cache_size(scan_blocks) == 1
 
     # identical inputs must give bit-identical trajectories
