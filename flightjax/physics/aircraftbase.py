@@ -178,7 +178,7 @@ class Vehicle(Component):
         from flightjax.ops.quaternions import qrot
         return atm_data._replace(v=atm_data.v + qrot(kin.q_nb, gust_b))
 
-    def _context(self, x, u, s):
+    def _context(self, x, u, s, t=0.0):
         """KinData, AirData, terrain query fn at the current state."""
         _, kin = self.kinematics.f_ode(x["kinematics"], x["dynamics"],
                                        s["geoid_N"], 0.0)
@@ -186,7 +186,7 @@ class Vehicle(Component):
         trn_fn = lambda n_e=None: self.terrain.terrain_data(u["trn"], n_e)
         if self.turbulence is not None:
             V, h_agl = self._turb_condition(kin, atm_data, trn_fn)
-            gust_b = self.turbulence.gust(x["turb"], u["turb"], V, h_agl)
+            gust_b = self.turbulence.gust(x["turb"], u["turb"], V, h_agl, t)
             atm_data = self._apply_gust(atm_data, kin, gust_b)
         air = air_data(atm_data, kin)
         return kin, air, trn_fn
@@ -238,7 +238,7 @@ class Vehicle(Component):
         kin_x, _ = self.kinematics.f_step(x["kinematics"], x["dynamics"],
                                           None, t)
         x = dict(x, kinematics=kin_x)
-        kin, air, trn_fn = self._context(x, u, s)
+        kin, air, trn_fn = self._context(x, u, s, t)
         sys_x, sys_s = self.systems.f_step(x["systems"], u["systems"],
                                            s["systems"], t, kin, air, trn_fn)
         in_step = self.geoid_in_step and not _geoid_deferred.get()

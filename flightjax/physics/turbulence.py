@@ -80,6 +80,18 @@ def scales(h_agl, W20):
     return L_u, L_v, L_w, sig_u, sig_u, sig_w
 
 
+def discrete_gust(u, t):
+    """Body-axes "1-cosine" discrete gust (CS 25.341(a) / MIL-F-8785C
+    3.7.3.2 shape), time-parameterized: a full smooth pulse
+    amp/2 (1 - cos(pi (t - t0)/T)) over t in [t0, t0 + 2T], zero outside.
+    (The certification form parameterizes by penetration distance s = V t;
+    at the trimmed airspeed the two are equivalent with T = H/V.)"""
+    tau = (jnp.asarray(t) - u["gust_t0"]) / u["gust_T"]
+    env = jnp.where((tau >= 0.0) & (tau <= 2.0),
+                    0.5 * (1.0 - jnp.cos(jnp.pi * tau)), 0.0)
+    return u["gust_amp"] * env[..., None]
+
+
 class DrydenTurbulence(Component):
     """Five-state Dryden gust filter bank.
 
@@ -100,7 +112,17 @@ class DrydenTurbulence(Component):
                 "wg": jnp.zeros(2)}
 
     def init_u(self):
-        return {"seed": jnp.asarray(0, jnp.int32), "W20": jnp.asarray(0.0)}
+        # gust_*: deterministic "1-cosine" discrete gust (CS 25.341(a) /
+        # MIL-F-8785C 3.7.3.2 shape): v(t) = amp/2 (1 - cos(pi (t-t0)/T))
+        # for t0 <= t <= t0 + 2T (a full smooth pulse of duration 2T),
+        # zero outside. amp is a body-axes vector so one input covers
+        # vertical (w), lateral (v) and head-on (u) certification gusts;
+        # t0 defaults far in the future = off. Stateless (pure function
+        # of t), so it adds no filter states and composes with the Dryden
+        # field by superposition.
+        return {"seed": jnp.asarray(0, jnp.int32), "W20": jnp.asarray(0.0),
+                "gust_amp": jnp.zeros(3), "gust_t0": jnp.asarray(1e30),
+                "gust_T": jnp.asarray(1.0)}
 
     def init_s(self):
         return {"eta": jnp.zeros(3), "n": jnp.asarray(0, jnp.int32)}
@@ -126,14 +148,17 @@ class DrydenTurbulence(Component):
         wg_dot = second_order(x["wg"], T_w, eta[..., 2])
 
         x_dot = {"ug": ug_dot, "vg": vg_dot, "wg": wg_dot}
-        return x_dot, self._gust(x, T_u, T_v, T_w, sig_u, sig_v, sig_w)
+        g = (self._gust(x, T_u, T_v, T_w, sig_u, sig_v, sig_w)
+             + discrete_gust(u, t))
+        return x_dot, g
 
-    def gust(self, x, u, V, h_agl):
+    def gust(self, x, u, V, h_agl, t=0.0):
         """Body-axes gust from the current states only (for consumers that
         need the output without the derivative, e.g. `f_step` air data)."""
         V = jnp.clip(V, V_MIN, None)
         L_u, L_v, L_w, sig_u, sig_v, sig_w = scales(h_agl, u["W20"])
-        return self._gust(x, L_u / V, L_v / V, L_w / V, sig_u, sig_v, sig_w)
+        return (self._gust(x, L_u / V, L_v / V, L_w / V, sig_u, sig_v, sig_w)
+                + discrete_gust(u, t))
 
     @staticmethod
     def _gust(x, T_u, T_v, T_w, sig_u, sig_v, sig_w):
