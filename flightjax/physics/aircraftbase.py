@@ -164,19 +164,30 @@ class Vehicle(Component):
             s["turb"] = self.turbulence.init_s()
         return s
 
-    def _turb_condition(self, kin, atm_data, trn_fn):
-        """(V_rel, h_AGL) driving the Dryden scale lengths: airspeed
-        relative to the MEAN wind (so the gust never feeds back into its
-        own filter coefficients) and height above the terrain."""
-        from flightjax.ops.quaternions import qrot_inv
-        v_ew_b = qrot_inv(kin.q_nb, atm_data.v)
-        V = jnp.linalg.norm(kin.v_eb_b - v_ew_b, axis=-1)
+    def _apply_disturbances(self, x, u, s, t, kin, atm_data, trn_fn,
+                            want_dot):
+        """Atmospheric disturbance chain (physics/turbulence.py): the mean
+        wind is first shaped by the boundary-layer shear profile, then the
+        Dryden/discrete gust field is superposed. The gust filters see the
+        airspeed relative to the SHEARED MEAN wind (the gust never feeds
+        back into its own coefficients) and the height above terrain.
+        Returns (disturbed AtmosphericData, turb x_dot or None)."""
+        from flightjax.ops.quaternions import qrot, qrot_inv
+        from flightjax.physics.turbulence import shear_scale
         h_agl = kin.h_o - trn_fn().elevation
-        return V, h_agl
-
-    def _apply_gust(self, atm_data, kin, gust_b):
-        from flightjax.ops.quaternions import qrot
-        return atm_data._replace(v=atm_data.v + qrot(kin.q_nb, gust_b))
+        k = shear_scale(u["turb"], h_agl)
+        v_mean = atm_data.v * jnp.stack(
+            [k, k, jnp.ones_like(k)], axis=-1)
+        v_ew_b = qrot_inv(kin.q_nb, v_mean)
+        V = jnp.linalg.norm(kin.v_eb_b - v_ew_b, axis=-1)
+        if want_dot:
+            turb_dot, gust_b = self.turbulence.f_ode(
+                x["turb"], u["turb"], s["turb"], t, V, h_agl)
+        else:
+            turb_dot = None
+            gust_b = self.turbulence.gust(x["turb"], u["turb"], V, h_agl, t)
+        atm2 = atm_data._replace(v=v_mean + qrot(kin.q_nb, gust_b))
+        return atm2, turb_dot
 
     def _context(self, x, u, s, t=0.0):
         """KinData, AirData, terrain query fn at the current state."""
@@ -185,9 +196,8 @@ class Vehicle(Component):
         atm_data = self.atmosphere.atmospheric_data(u["atm"], kin.n_e, kin.h_o)
         trn_fn = lambda n_e=None: self.terrain.terrain_data(u["trn"], n_e)
         if self.turbulence is not None:
-            V, h_agl = self._turb_condition(kin, atm_data, trn_fn)
-            gust_b = self.turbulence.gust(x["turb"], u["turb"], V, h_agl, t)
-            atm_data = self._apply_gust(atm_data, kin, gust_b)
+            atm_data, _ = self._apply_disturbances(x, u, s, t, kin,
+                                                   atm_data, trn_fn, False)
         air = air_data(atm_data, kin)
         return kin, air, trn_fn
 
@@ -199,10 +209,8 @@ class Vehicle(Component):
         trn_fn = lambda n_e=None: self.terrain.terrain_data(u["trn"], n_e)
         turb_dot = None
         if self.turbulence is not None:
-            V, h_agl = self._turb_condition(kin, atm_data, trn_fn)
-            turb_dot, gust_b = self.turbulence.f_ode(
-                x["turb"], u["turb"], s["turb"], t, V, h_agl)
-            atm_data = self._apply_gust(atm_data, kin, gust_b)
+            atm_data, turb_dot = self._apply_disturbances(
+                x, u, s, t, kin, atm_data, trn_fn, True)
         air = air_data(atm_data, kin)
 
         sys_dot, sys_y = self.systems.f_ode(x["systems"], u["systems"],

@@ -80,6 +80,28 @@ def scales(h_agl, W20):
     return L_u, L_v, L_w, sig_u, sig_u, sig_w
 
 
+def shear_scale(u, h_agl):
+    """MIL-F-8785C 3.7.3.1 mean-wind boundary-layer shear: the magnitude
+    of the horizontal mean wind follows a logarithmic profile
+
+        |W(h)| = W20 ln(h / z0) / ln(20 ft / z0)
+
+    referenced to the wind at 20 ft AGL. Returns the dimensionless
+    multiplier for the horizontal components of the input mean wind
+    (which is interpreted as the 20-ft wind when shear is enabled).
+    z0 = 0.15 ft for flight phase Category C (approach/landing), 2.0 ft
+    otherwise; `shear_z0_ft` <= 0 (the init default) disables shear
+    (multiplier 1 everywhere). The profile is clamped below h = z0 (wind
+    -> 0 at the roughness length, never negative) and the spec gives it
+    meaning up to ~1000 ft; above, the log growth is mild and harmless."""
+    z0 = u["shear_z0_ft"]
+    h_ft = jnp.maximum(h_agl / FT, z0 * (1.0 + 1e-6))
+    on = z0 > 0.0
+    safe_z0 = jnp.where(on, z0, 1.0)
+    k = jnp.log(h_ft / safe_z0) / jnp.log(20.0 / safe_z0)
+    return jnp.where(on, jnp.maximum(k, 0.0), 1.0)
+
+
 def discrete_gust(u, t):
     """Body-axes "1-cosine" discrete gust (CS 25.341(a) / MIL-F-8785C
     3.7.3.2 shape), time-parameterized: a full smooth pulse
@@ -120,9 +142,12 @@ class DrydenTurbulence(Component):
         # t0 defaults far in the future = off. Stateless (pure function
         # of t), so it adds no filter states and composes with the Dryden
         # field by superposition.
+        # shear_z0_ft: surface roughness length [ft] for the logarithmic
+        # mean-wind shear profile (`shear_scale`); 0.15 ft = Category C
+        # (approach/landing), 2.0 ft otherwise, <= 0 = off (default).
         return {"seed": jnp.asarray(0, jnp.int32), "W20": jnp.asarray(0.0),
                 "gust_amp": jnp.zeros(3), "gust_t0": jnp.asarray(1e30),
-                "gust_T": jnp.asarray(1.0)}
+                "gust_T": jnp.asarray(1.0), "shear_z0_ft": jnp.asarray(0.0)}
 
     def init_s(self):
         return {"eta": jnp.zeros(3), "n": jnp.asarray(0, jnp.int32)}

@@ -237,6 +237,48 @@ def test_discrete_gust_through_engine():
     assert np.all(np.asarray(discrete_gust(u_after, jnp.asarray(2.5))) == 0)
 
 
+def test_shear_profile_values():
+    """Log boundary-layer shear (MIL-F-8785C 3.7.3.1): multiplier 1 at the
+    20 ft reference, ln-ratio above, clamped to 0 at the roughness length,
+    and exactly 1 everywhere when disabled (z0 <= 0)."""
+    from flightjax.physics.turbulence import shear_scale
+
+    u = {"shear_z0_ft": jnp.asarray(0.15)}
+    k = lambda h_ft: float(shear_scale(u, jnp.asarray(h_ft * FT)))
+    np.testing.assert_allclose(k(20.0), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(k(100.0),
+                               np.log(100 / 0.15) / np.log(20 / 0.15),
+                               rtol=1e-6)
+    assert 0.0 <= k(0.1) < 1e-5  # below z0: clamped to ~0, never negative
+    u_off = {"shear_z0_ft": jnp.asarray(0.0)}
+    assert float(shear_scale(u_off, jnp.asarray(500.0))) == 1.0
+
+
+def test_shear_scales_mean_wind_in_airdata():
+    """With shear enabled the horizontal mean wind seen by the airdata
+    follows the log profile (the wind input is the 20-ft wind); the
+    vertical component is untouched."""
+    from flightjax.physics.aircraftbase import Vehicle, NoVehicleSystems
+    from flightjax.physics.kinematics import WA, kin_init
+    from flightjax.physics.turbulence import shear_scale
+
+    h = 150.0  # m AGL (terrain at 0 elevation, orthometric ~ this test's h)
+    veh = Vehicle(NoVehicleSystems(mass=100.0), WA(),
+                  turbulence=DrydenTurbulence(DT))
+    ic = kin_init(lat=0.0, lon=0.0, h=h, h_datum="orthometric",
+                  v_eb_n=[50.0, 0.0, 0.0])
+    x = veh.init_x(kin_init=ic)
+    u = veh.init_u()
+    u["atm"] = dict(u["atm"], wind=jnp.asarray([6.0, 2.0, 0.7]))
+    u["turb"] = dict(u["turb"], shear_z0_ft=jnp.asarray(0.15))
+    s = veh.init_s(x=x)
+    _, y = veh.f_ode(x, u, s, 0.0)
+    k = float(shear_scale(u["turb"], y.kinematics.h_o))
+    assert k > 1.2  # ~490 ft AGL: well above the 20-ft reference
+    np.testing.assert_allclose(np.asarray(y.airflow.v_ew_n),
+                               [6.0 * k, 2.0 * k, 0.7], rtol=1e-6)
+
+
 def test_c172_builder_passthrough():
     """`c172s.build_vehicle(turbulence=...)` threads the gust model through
     the full aircraft: the turb states ride in the vehicle x tree, a
