@@ -63,6 +63,61 @@ def fleet_metrics(state, veh_y_fn=None):
     return out
 
 
+G_STD = 9.80665
+
+
+def fleet_rollout_loads(sim, state, n_steps, ctx=(), sample_every=5,
+                        unroll=1):
+    """Roll the fleet forward while tracking each lane's peak load factor
+    n = |f_c|/g (specific force at the CoM) — the gust-load / exceedance
+    consumer of the atmospheric-disturbance models (physics/turbulence.py).
+
+    The load requires the full output evaluation (an extra f_ode), so it
+    is sampled every `sample_every` steps instead of every step: gust
+    correlation times are seconds (L/V) while steps are 10-20 ms, so
+    peaks are captured while the overhead stays at 1/sample_every of a
+    step. Returns (final_state, peak_n) with peak_n shaped [batch].
+    Cached on the Simulation like `fleet_rollout`."""
+    n_outer, rem = divmod(int(n_steps), int(sample_every))
+    if rem:
+        raise ValueError("n_steps must be a multiple of sample_every")
+    key = ("fleet_roll_loads", n_steps, sample_every, unroll)
+    roll = sim._run_cache.get(key)
+    if roll is None:
+
+        def load(st, ctx):
+            y = jax.vmap(lambda s: sim.output(s, ctx))(st)
+            f = y.vehicle.dynamics.f_c_c
+            return jnp.linalg.norm(f, axis=-1) / G_STD
+
+        @jax.jit
+        def roll(st, ctx):
+            def inner(s, _):
+                return sim.fleet_step(s, ctx), None
+
+            def outer(carry, _):
+                s, peak = carry
+                s, _ = jax.lax.scan(inner, s, None, length=sample_every,
+                                    unroll=unroll)
+                return (s, jnp.maximum(peak, load(s, ctx))), None
+
+            carry, _ = jax.lax.scan(outer, (st, load(st, ctx)), None,
+                                    length=n_outer)
+            return carry
+
+        sim._run_cache[key] = roll
+    return roll(state, ctx)
+
+
+def exceedance(peaks, thresholds):
+    """Exceedance fractions: for each threshold, the fraction of lanes
+    whose peak exceeds it — the certification-style summary of a
+    turbulent Monte Carlo fleet. Returns [len(thresholds)]."""
+    peaks = jnp.asarray(peaks)
+    th = jnp.asarray(thresholds)
+    return jnp.mean(peaks[None, :] > th[:, None], axis=1)
+
+
 # ----------------------------------------------------------- Monte Carlo
 
 def monte_carlo_c172(state, key, wind_std=5.0, payload_std=15.0,

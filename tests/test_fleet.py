@@ -44,6 +44,42 @@ def test_monte_carlo_fleet_rollout(c172_world_state):
     assert float(m["terminated_frac"]) == 0.0
 
 
+def test_fleet_rollout_loads(c172_world_state):
+    """`fleet_rollout_loads` tracks each lane's peak load factor through
+    the rollout: near 1 g at trimmed cruise (the MC perturbations only
+    jostle it), varying across lanes, and never below the final-state
+    snapshot load (the peak is a running max)."""
+    sim, state = c172_world_state
+    B = 8
+    st = fleet.broadcast_state(state, B)
+    st = fleet.monte_carlo_c172(st, jax.random.PRNGKey(2))
+
+    final, peaks = fleet.fleet_rollout_loads(sim, st, n_steps=50,
+                                             sample_every=5)
+    peaks = np.asarray(peaks)
+    assert peaks.shape == (B,) and np.all(np.isfinite(peaks))
+    # the MC wind hits the trimmed aircraft as an instantaneous shear, so
+    # initial-transient peaks of 2-3 g are physical; demand plausible 1 g+
+    assert np.all(peaks > 0.7) and np.all(peaks < 5.0)
+    assert np.std(peaks) > 1e-4  # per-lane MC conditions separate
+
+    y = jax.vmap(lambda s: sim.output(s, ()))(final)
+    n_final = np.asarray(
+        np.linalg.norm(np.asarray(y.vehicle.dynamics.f_c_c), axis=-1)
+        / fleet.G_STD)
+    assert np.all(peaks >= n_final - 1e-6)
+
+    with pytest.raises(ValueError):
+        fleet.fleet_rollout_loads(sim, st, n_steps=7, sample_every=5)
+
+
+@pytest.mark.fast
+def test_exceedance_fractions():
+    peaks = jnp.asarray([0.5, 1.1, 1.5, 2.4])
+    frac = np.asarray(fleet.exceedance(peaks, [1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(frac, [0.75, 0.25, 0.0])
+
+
 # ---------------------------------------------------------------- fast tier
 # Robot2D-based smoke tests so `pytest -m fast` (the per-commit gate)
 # exercises the vmap fleet and shard_map DP paths without the expensive
