@@ -180,6 +180,24 @@ def comp_add(x, incr, c):
     return jax.tree_util.tree_unflatten(treedef, out), c_new
 
 
+def _turbulence_dt(obj, _depth=0):
+    """The `dt` of a DrydenTurbulence model attached anywhere on the
+    SimpleWorld -> Aircraft -> Vehicle chain, or None. Used by
+    Simulation.__init__ to reject hold-interval mismatches."""
+    if _depth > 4:
+        return None
+    turb = getattr(obj, "turbulence", None)
+    if turb is not None:
+        return getattr(turb, "dt", None)
+    for name in ("aircraft", "vehicle"):
+        child = getattr(obj, name, None)
+        if child is not None:
+            got = _turbulence_dt(child, _depth + 1)
+            if got is not None:
+                return got
+    return None
+
+
 class Simulation:
     """Simulation driver for a root component implementing the
     `flightjax.core.modeling.Component` protocol.
@@ -230,6 +248,15 @@ class Simulation:
         # analog of the reference's `mdl.Δt`, `modeling.jl:181-182`), so
         # discrete sub-updates can read their step size
         self.system.periodic_dt = self.periodic_dt
+        # a Dryden turbulence model's noise-hold interval must equal the
+        # engine step: a mismatch silently rescales every gust variance by
+        # turb_dt/dt (the drive is eta*sqrt(pi/turb_dt) held for dt)
+        turb_dt = _turbulence_dt(self.system)
+        if turb_dt is not None and abs(turb_dt - self.dt) > 1e-12:
+            raise ValueError(
+                f"DrydenTurbulence(dt={turb_dt}) does not match "
+                f"Simulation dt={self.dt}: the gust variance would be "
+                f"scaled by {turb_dt / self.dt:.3g}")
 
     def replace(self, **overrides):
         """A fresh Simulation over the same system with some settings

@@ -274,8 +274,11 @@ def linearize_ned(tp: C172.TrimParameters = None, iters=30) -> LinearizedSS:
 
 # ------------------------------------------------------------- flagship sim
 
-def flagship_world(kinematics="wa") -> SimpleWorld:
-    return SimpleWorld(build_aircraft(kinematics))
+def flagship_world(kinematics="wa", **kw) -> SimpleWorld:
+    """`**kw` forwards to `build_vehicle` (atmosphere/terrain/turbulence),
+    so e.g. `flagship_world(turbulence=DrydenTurbulence(0.02))` is the
+    supported way to opt the canonical fleet entry point into gusts."""
+    return SimpleWorld(build_aircraft(kinematics, **kw))
 
 
 def flagship_sim():

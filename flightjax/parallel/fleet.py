@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from flightjax.physics.atmosphere import G_STD
+
 
 def broadcast_state(state, batch):
     """Tile a single SimState across a leading fleet axis."""
@@ -61,9 +63,6 @@ def fleet_metrics(state, veh_y_fn=None):
     if isinstance(s, dict) and "terminated" in s:
         out["terminated_frac"] = jnp.mean(s["terminated"].astype(jnp.float32))
     return out
-
-
-G_STD = 9.80665
 
 
 def fleet_rollout_loads(sim, state, n_steps, ctx=(), sample_every=5,
@@ -112,8 +111,11 @@ def fleet_rollout_loads(sim, state, n_steps, ctx=(), sample_every=5,
 def exceedance(peaks, thresholds):
     """Exceedance fractions: for each threshold, the fraction of lanes
     whose peak exceeds it — the certification-style summary of a
-    turbulent Monte Carlo fleet. Returns [len(thresholds)]."""
+    turbulent Monte Carlo fleet. A NaN peak (a lane that diverged — the
+    most violently loaded outcome, not the safest) is counted as
+    exceeding every threshold. Returns [len(thresholds)]."""
     peaks = jnp.asarray(peaks)
+    peaks = jnp.where(jnp.isnan(peaks), jnp.inf, peaks)
     th = jnp.asarray(thresholds)
     return jnp.mean(peaks[None, :] > th[:, None], axis=1)
 
@@ -126,7 +128,7 @@ def monte_carlo_c172(state, key, wind_std=5.0, payload_std=15.0,
     and altitude over a batched C172 world SimState. Returns the perturbed
     fleet state."""
     batch = state.t.shape[0]
-    k_wind, k_pld, k_fuel, k_h = jax.random.split(key, 4)
+    k_wind, k_pld, k_fuel, k_h, k_turb = jax.random.split(key, 5)
 
     u = state.u
     veh_u = dict(u["vehicle"])
@@ -145,11 +147,15 @@ def monte_carlo_c172(state, key, wind_std=5.0, payload_std=15.0,
     veh_u["systems"] = sys_u
 
     # Dryden turbulence (optional, physics/turbulence.py): give every lane
-    # its own counter-based noise stream; W20/severity stays whatever the
-    # caller set (0 = off, the init default)
+    # its own counter-based noise stream, with the block offset derived
+    # from `key` so two fleets randomized with different keys draw
+    # different gust realizations (pooling their exceedance statistics
+    # stays valid); W20/severity stays whatever the caller set (0 = off,
+    # the init default)
     if "turb" in veh_u:
+        base = jax.random.randint(k_turb, (), 0, jnp.int32(2**31 - 1) - batch)
         veh_u["turb"] = dict(veh_u["turb"],
-                             seed=jnp.arange(batch, dtype=jnp.int32))
+                             seed=base + jnp.arange(batch, dtype=jnp.int32))
 
     x = state.x
     veh_x = dict(x["vehicle"])

@@ -171,7 +171,9 @@ class Vehicle(Component):
         Dryden/discrete gust field is superposed. The gust filters see the
         airspeed relative to the SHEARED MEAN wind (the gust never feeds
         back into its own coefficients) and the height above terrain.
-        Returns (disturbed AtmosphericData, turb x_dot or None)."""
+        Returns (disturbed AtmosphericData, body-axes total wind for
+        `air_data` — already in hand, skipping a re-rotation — and turb
+        x_dot or None)."""
         from flightjax.ops.quaternions import qrot, qrot_inv
         from flightjax.physics.turbulence import shear_scale
         h_agl = kin.h_o - trn_fn().elevation
@@ -187,7 +189,7 @@ class Vehicle(Component):
             turb_dot = None
             gust_b = self.turbulence.gust(x["turb"], u["turb"], V, h_agl, t)
         atm2 = atm_data._replace(v=v_mean + qrot(kin.q_nb, gust_b))
-        return atm2, turb_dot
+        return atm2, v_ew_b + gust_b, turb_dot
 
     def _context(self, x, u, s, t=0.0):
         """KinData, AirData, terrain query fn at the current state."""
@@ -195,10 +197,11 @@ class Vehicle(Component):
                                        s["geoid_N"], 0.0)
         atm_data = self.atmosphere.atmospheric_data(u["atm"], kin.n_e, kin.h_o)
         trn_fn = lambda n_e=None: self.terrain.terrain_data(u["trn"], n_e)
+        v_ew_b = None
         if self.turbulence is not None:
-            atm_data, _ = self._apply_disturbances(x, u, s, t, kin,
-                                                   atm_data, trn_fn, False)
-        air = air_data(atm_data, kin)
+            atm_data, v_ew_b, _ = self._apply_disturbances(
+                x, u, s, t, kin, atm_data, trn_fn, False)
+        air = air_data(atm_data, kin, v_ew_b)
         return kin, air, trn_fn
 
     def f_ode(self, x, u, s, t):
@@ -207,11 +210,11 @@ class Vehicle(Component):
                                              s["geoid_N"], t)
         atm_data = self.atmosphere.atmospheric_data(u["atm"], kin.n_e, kin.h_o)
         trn_fn = lambda n_e=None: self.terrain.terrain_data(u["trn"], n_e)
-        turb_dot = None
+        turb_dot, v_ew_b = None, None
         if self.turbulence is not None:
-            atm_data, turb_dot = self._apply_disturbances(
+            atm_data, v_ew_b, turb_dot = self._apply_disturbances(
                 x, u, s, t, kin, atm_data, trn_fn, True)
-        air = air_data(atm_data, kin)
+        air = air_data(atm_data, kin, v_ew_b)
 
         sys_dot, sys_y = self.systems.f_ode(x["systems"], u["systems"],
                                             s["systems"], t, kin, air, trn_fn)

@@ -122,11 +122,15 @@ def eas2tas(EAS, rho):
     return EAS * jnp.sqrt(RHO_STD / rho)
 
 
-def air_data(atm: AtmosphericData, kin) -> AirData:
+def air_data(atm: AtmosphericData, kin, v_ew_b=None) -> AirData:
     """AirData from atmospheric conditions + kinematics
-    (`atmosphere.jl:220-242`)."""
+    (`atmosphere.jl:220-242`). `v_ew_b`: optionally the body-axes wind
+    already in hand (the disturbance chain computes it while building the
+    gust field — passing it skips re-rotating `atm.v`; for a zero gust the
+    two forms are bit-identical)."""
     v_ew_n = atm.v
-    v_ew_b = qrot_inv(kin.q_nb, v_ew_n)
+    if v_ew_b is None:
+        v_ew_b = qrot_inv(kin.q_nb, v_ew_n)
     v_wb_b = kin.v_eb_b - v_ew_b
 
     TAS = jnp.linalg.norm(v_wb_b, axis=-1)

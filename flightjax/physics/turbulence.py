@@ -95,7 +95,11 @@ def shear_scale(u, h_agl):
     -> 0 at the roughness length, never negative) and the spec gives it
     meaning up to ~1000 ft; above, the log growth is mild and harmless."""
     z0 = u["shear_z0_ft"]
-    h_ft = jnp.maximum(h_agl / FT, z0 * (1.0 + 1e-6))
+    # unconditional positive floor: with shear off (z0 <= 0) and the
+    # vehicle on the ground h_agl can be exactly 0 (or negative under gear
+    # compression) — log(0) in the untaken where-branch would poison
+    # reverse-mode gradients (0 * inf cotangents) through diffsim/linearize
+    h_ft = jnp.maximum(h_agl / FT, jnp.maximum(z0 * (1.0 + 1e-6), 1e-3))
     on = z0 > 0.0
     safe_z0 = jnp.where(on, z0, 1.0)
     k = jnp.log(h_ft / safe_z0) / jnp.log(20.0 / safe_z0)

@@ -279,6 +279,40 @@ def test_shear_scales_mean_wind_in_airdata():
                                [6.0 * k, 2.0 * k, 0.7], rtol=1e-6)
 
 
+def test_dt_mismatch_rejected():
+    """A DrydenTurbulence whose noise-hold interval differs from the
+    engine step would silently rescale every gust variance — the
+    Simulation must reject the pairing at construction."""
+    from flightjax.physics.aircraftbase import Vehicle, NoVehicleSystems
+    from flightjax.physics.kinematics import WA
+
+    veh = Vehicle(NoVehicleSystems(), WA(), turbulence=DrydenTurbulence(0.02))
+    with pytest.raises(ValueError, match="does not match"):
+        Simulation(veh, dt=0.01)
+    Simulation(veh, dt=0.02)  # matching dt constructs fine
+
+
+def test_shear_gradient_finite_on_ground():
+    """With shear disabled (the default) and the vehicle on the ground
+    (h_agl <= 0), shear_scale must stay differentiable: log(0) in the
+    untaken where-branch would poison reverse-mode gradients through
+    diffsim/linearize."""
+    from flightjax.physics.turbulence import shear_scale
+
+    def f(h):
+        return shear_scale({"shear_z0_ft": jnp.asarray(0.0)}, h)
+
+    for h in (0.0, -0.4, 5.0):
+        v, g = jax.value_and_grad(f)(jnp.asarray(h))
+        assert float(v) == 1.0 and np.isfinite(float(g))
+    # and with shear on, gradients stay finite at/below the clamp too
+    def f_on(h):
+        return shear_scale({"shear_z0_ft": jnp.asarray(0.15)}, h)
+    for h in (0.0, 0.02, 100.0):
+        _, g = jax.value_and_grad(f_on)(jnp.asarray(h))
+        assert np.isfinite(float(g))
+
+
 def test_c172_builder_passthrough():
     """`c172s.build_vehicle(turbulence=...)` threads the gust model through
     the full aircraft: the turb states ride in the vehicle x tree, a
@@ -307,9 +341,14 @@ def test_c172_builder_passthrough():
                        u={"vehicle": st.u},
                        s={"vehicle": st.s, "terminated": jnp.asarray(False)})
     fl = fleet.broadcast_state(wrapped, 4)
-    fl = fleet.monte_carlo_c172(fl, jax.random.PRNGKey(0))
-    seeds = fl.u["vehicle"]["turb"]["seed"]
+    fl0 = fleet.monte_carlo_c172(fl, jax.random.PRNGKey(0))
+    seeds = fl0.u["vehicle"]["turb"]["seed"]
     assert seeds.shape == (4,) and len(set(np.asarray(seeds).tolist())) == 4
+    # seeds derive from the key: two fleets randomized with different keys
+    # draw disjoint gust streams (pooled exceedance statistics stay valid)
+    fl1 = fleet.monte_carlo_c172(fl, jax.random.PRNGKey(1))
+    seeds1 = fl1.u["vehicle"]["turb"]["seed"]
+    assert not np.array_equal(np.asarray(seeds), np.asarray(seeds1))
 
 
 pytestmark = pytest.mark.fast
