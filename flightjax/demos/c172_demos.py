@@ -15,6 +15,10 @@ Mirrors `/root/reference/lib/FlightApps/demos/c172_demos.jl`:
   start, engine start, takeoff, 5-leg pattern, landing, rollout
   (`c172_demos.jl:514-645`)
 
+Beyond the reference: `turbulent_fleet_loads` — a Monte Carlo fleet
+through MIL-F-8785C Dryden turbulence with per-lane peak-load tracking
+and exceedance fractions (the reference has no stochastic wind at all).
+
 Each headless scenario returns (final SimState, TimeSeries log). The
 reference scripts missions through an imperative `user_callback!`; here
 they are pure in-graph phase machines (`flightjax.core.mission`), so a
@@ -156,6 +160,44 @@ def loiter(t_end=300.0, dt=0.02, radius=1500.0, turn_dir=1.0,
         state.u["avionics"], gdc=gdc_u, ctl=ctl_u)))
     return sim.run(state, t_end=t_end, t0=0.0, save_every=save_every,
                    dispatch_blocks=10)
+
+
+def turbulent_fleet_loads(batch=256, t_end=60.0, dt=0.02, W20=10.0,
+                          thresholds=(1.5, 2.0, 2.5), seed=0):
+    """Certification-style gust-load study (beyond the reference — no
+    stochastic wind exists there): a Monte Carlo C172S fleet flies
+    `t_end` s through MIL-F-8785C Dryden turbulence of severity `W20`
+    (20-ft wind, m/s), tracking each lane's peak load factor. Returns
+    (final fleet state, per-lane peak n, exceedance fractions over
+    `thresholds`)."""
+    from flightjax.core.modeling import canonical
+    from flightjax.physics.turbulence import DrydenTurbulence
+    from flightjax.parallel import fleet
+
+    world = c172s.flagship_world("wa", turbulence=DrydenTurbulence(dt))
+    sim = Simulation(world, dt=dt, periodic_dt=dt, geoid_every=128,
+                     gear_gate_margin=10.0)
+    vehicle = world.aircraft.vehicle
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        x, u, s, _, rnorm = c172s.trim(vehicle)
+    state = canonical(SimState(
+        t=jnp.asarray(0.0), i=jnp.asarray(0, jnp.int32),
+        x={"vehicle": x}, u={"vehicle": u},
+        s={"vehicle": s, "terminated": jnp.asarray(False)}))
+    state = sim.with_compensation(state)
+
+    st = fleet.broadcast_state(state, batch)
+    st = fleet.monte_carlo_c172(st, jax.random.PRNGKey(seed))
+    turb_u = dict(st.u["vehicle"]["turb"],
+                  W20=jnp.full((batch,), float(W20)))
+    st = st._replace(u=dict(st.u, vehicle=dict(st.u["vehicle"],
+                                               turb=turb_u)))
+
+    n_steps = int(round(t_end / dt))
+    n_steps -= n_steps % 5  # load sampling cadence (fleet_rollout_loads)
+    final, peaks = fleet.fleet_rollout_loads(sim, st, n_steps=n_steps)
+    frac = fleet.exceedance(peaks, list(thresholds))
+    return final, peaks, frac
 
 
 def generic_simulation(t_end=60.0, pace=1.0, xplane_address="127.0.0.1",

@@ -85,3 +85,17 @@ def test_traffic_pattern_startup_sequence():
     eng = final.s["vehicle"]["systems"]["pwp"]["engine"]["state"]
     assert int(eng) == ENG_RUNNING
     assert not bool(final.s["terminated"])
+
+
+def test_turbulent_fleet_loads_demo():
+    """The gust-load study demo end-to-end on a small fleet: peaks are
+    physical (~1 g jostled cruise), exceedance fractions are monotone
+    non-increasing in the threshold, and nobody crashes in 2 s of
+    moderate turbulence at altitude."""
+    final, peaks, frac = D.turbulent_fleet_loads(batch=8, t_end=2.0,
+                                                 W20=10.0)
+    peaks, frac = np.asarray(peaks), np.asarray(frac)
+    assert peaks.shape == (8,) and np.all(np.isfinite(peaks))
+    assert np.all(peaks > 0.7) and np.all(peaks < 5.0)
+    assert np.all(np.diff(frac) <= 1e-12)  # monotone in threshold
+    assert float(np.asarray(final.s["terminated"]).sum()) == 0.0
