@@ -207,3 +207,49 @@ def sharded_rollout_fn(sim, mesh, n_steps, ctx=(), mesh_axis="dp"):
                          out_specs=(specs, P()))(state)
 
     return jax.jit(wrapped)
+
+
+def sharded_loads_fn(sim, mesh, n_steps, thresholds, ctx=(),
+                     sample_every=5, mesh_axis="dp"):
+    """Multi-chip gust-load study: the `fleet_rollout_loads` peak tracking
+    inside shard_map, with the exceedance fractions reduced over ICI
+    (`pmean` of per-shard fractions == global fraction, since shards are
+    equal-sized). Returns a jitted fn(state) -> (state, peaks, fractions)
+    with peaks sharded like the fleet and fractions replicated."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_outer, rem = divmod(int(n_steps), int(sample_every))
+    if rem:
+        raise ValueError("n_steps must be a multiple of sample_every")
+    th = jnp.asarray(thresholds, dtype=jnp.float32)
+
+    def load(st):
+        y = jax.vmap(lambda s: sim.output(s, ctx))(st)
+        return jnp.linalg.norm(y.vehicle.dynamics.f_c_c, axis=-1) / G_STD
+
+    def local(st):
+        def inner(s, _):
+            return sim.fleet_step(s, ctx), None
+
+        def outer(carry, _):
+            s, peak = carry
+            s, _ = jax.lax.scan(inner, s, None, length=sample_every)
+            return (s, jnp.maximum(peak, load(s))), None
+
+        (st, peak), _ = jax.lax.scan(outer, (st, load(st)), None,
+                                     length=n_outer)
+        safe = jnp.where(jnp.isnan(peak), jnp.inf, peak)
+        frac = jax.lax.pmean(
+            jnp.mean(safe[None, :] > th[:, None], axis=1),
+            axis_name=mesh_axis)
+        return st, peak, frac
+
+    spec = P(mesh_axis)
+
+    def wrapped(state):
+        specs = jax.tree.map(lambda _: spec, state)
+        return shard_map(local, mesh=mesh, in_specs=(specs,),
+                         out_specs=(specs, spec, P()))(state)
+
+    return jax.jit(wrapped)

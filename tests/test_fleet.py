@@ -73,6 +73,29 @@ def test_fleet_rollout_loads(c172_world_state):
         fleet.fleet_rollout_loads(sim, st, n_steps=7, sample_every=5)
 
 
+def test_sharded_loads_matches_vmap(c172_world_state):
+    """`sharded_loads_fn` over the virtual 8-device mesh reproduces the
+    unsharded load study: per-lane peaks to scan-fusion tolerance and the
+    pmean'd exceedance fractions equal to the global computation."""
+    sim, state = c172_world_state
+    B = 8
+    st = fleet.broadcast_state(state, B)
+    st = fleet.monte_carlo_c172(st, jax.random.PRNGKey(3))
+
+    _, peaks_ref = fleet.fleet_rollout_loads(sim, st, n_steps=25,
+                                             sample_every=5)
+    th = [1.0, 1.5, 2.5]
+    mesh, st_sh = fleet.shard_fleet(st)
+    roll = fleet.sharded_loads_fn(sim, mesh, n_steps=25, thresholds=th)
+    _, peaks_sh, frac = roll(st_sh)
+
+    np.testing.assert_allclose(np.asarray(peaks_sh), np.asarray(peaks_ref),
+                               rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(frac),
+        np.asarray(fleet.exceedance(peaks_ref, th)), atol=1e-12)
+
+
 @pytest.mark.fast
 def test_exceedance_fractions():
     peaks = jnp.asarray([0.5, 1.1, 1.5, 2.4])
