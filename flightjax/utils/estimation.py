@@ -1,0 +1,218 @@
+"""State estimation: Kalman filtering and an attitude/heading reference
+system (AHRS) built on the sensor suite.
+
+Beyond-reference capability: Flight.jl has no estimation layer — its
+control laws consume true `KinData` directly (`aircraftbase.jl:201-210`).
+Together with `flightjax.physics.sensors` this closes the realistic
+avionics loop: truth -> sensors -> filter -> control. Designed TPU-first:
+
+- all filter steps are pure `(x, P, z) -> (x, P)` functions of small
+  fixed-shape arrays — they jit, scan over measurement epochs, and vmap
+  over Monte Carlo fleets unchanged (one fleet = one batched Riccati
+  recursion on the MXU);
+- Jacobians for the EKF come from `jax.jacfwd` of the supplied models —
+  exact, no finite differencing (same policy as
+  `physics/linearization.py`);
+- intermittent measurements (the GPS `gps_new` flag) are handled by
+  `masked_update` — a branch-free `where` over the updated/prior pair,
+  the scan-friendly form of "skip the update this epoch";
+- covariance updates use the Joseph form, which stays symmetric
+  positive-definite in f32 (the fleet fast path) as well as f64.
+
+The `Ahrs` class is a standard 6-state multiplicative EKF (attitude
+error + gyro bias) propagating a unit-quaternion nominal with gyro
+measurements and correcting from the accelerometer gravity direction and
+the magnetometer field — the classic light-aircraft AHRS complement to
+the `SensorSuite` IMU/mag models.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from flightjax.ops.attitude import rvec_to_quat, skew
+from flightjax.ops.quaternions import qmul, qnormalize, qrot_inv
+
+__all__ = [
+    "kf_predict", "kf_update", "ekf_predict", "ekf_update",
+    "masked_update", "Ahrs", "AhrsState",
+]
+
+
+# --------------------------------------------------------------- linear KF
+
+def kf_predict(x, P, F, Q, B=None, u=None):
+    """Discrete-time predict: x+ = F x (+ B u), P+ = F P Fᵀ + Q."""
+    x = F @ x if B is None else F @ x + B @ u
+    return x, F @ P @ F.T + Q
+
+
+def kf_update(x, P, H, z, R):
+    """Measurement update (Joseph form). Returns (x, P, innovation)."""
+    y = z - H @ x
+    S = H @ P @ H.T + R
+    K = jnp.linalg.solve(S.T, (P @ H.T).T).T  # P Hᵀ S⁻¹ without inverse
+    x = x + K @ y
+    IKH = jnp.eye(P.shape[0], dtype=P.dtype) - K @ H
+    P = IKH @ P @ IKH.T + K @ R @ K.T
+    return x, P, y
+
+
+# ------------------------------------------------------------------- EKF
+
+def ekf_predict(x, P, f, Q, *args):
+    """EKF predict through a nonlinear transition x+ = f(x, *args); the
+    Jacobian F = ∂f/∂x comes from `jax.jacfwd` (exact)."""
+    F = jax.jacfwd(f)(x, *args)
+    return f(x, *args), F @ P @ F.T + Q
+
+
+def ekf_update(x, P, h, z, R, *args):
+    """EKF update with measurement model z = h(x, *args) + v."""
+    H = jax.jacfwd(h)(x, *args)
+    y = z - h(x, *args)
+    S = H @ P @ H.T + R
+    K = jnp.linalg.solve(S.T, (P @ H.T).T).T
+    x = x + K @ y
+    IKH = jnp.eye(P.shape[0], dtype=P.dtype) - K @ H
+    P = IKH @ P @ IKH.T + K @ R @ K.T
+    return x, P, y
+
+
+def masked_update(valid, updated, prior):
+    """Branch-free intermittent-measurement gate: select the updated
+    filter state where `valid`, the prior elsewhere. Works on arbitrary
+    pytrees of (x, P, ...) tuples — the scan/vmap-friendly counterpart of
+    'if gps_new: update()'."""
+    return jax.tree.map(
+        lambda a, b: jnp.where(valid, a, b), updated, prior)
+
+
+# ------------------------------------------------------------------ AHRS
+
+class AhrsState(NamedTuple):
+    q_nb: jnp.ndarray   # (4,) nominal attitude, body wrt NED
+    b_g: jnp.ndarray    # (3,) gyro bias estimate [rad/s]
+    P: jnp.ndarray      # (6, 6) error covariance [dtheta(3), db_g(3)]
+
+
+class Ahrs:
+    """6-state multiplicative EKF attitude/heading reference.
+
+    Error state dx = [dtheta (3, body-axes attitude error), db_g (3, gyro
+    bias error)]. The nominal quaternion integrates bias-corrected gyro
+    rates; accelerometer updates observe the gravity direction (gated to
+    quasi-static epochs by `accel_gate` on |f| vs g), magnetometer
+    updates observe the NED field direction. After each update the
+    attitude error is injected into the nominal and re-zeroed (MEKF
+    reset).
+
+    Noise parameters default to the `sensors.imu_params`/`mag_params`
+    grades. All methods are pure and vmappable; `run` scans a whole
+    measurement record in one `lax.scan`.
+    """
+
+    def __init__(self, dt, sigma_gyro=8.7e-4, rw_gyro=3.0e-5,
+                 sigma_accel=0.02, sigma_mag=150.0e-9,
+                 B_n=(19.0e-6, 0.0, 45.0e-6), g=9.80665, accel_gate=0.5):
+        self.dt = float(dt)
+        self.g = float(g)
+        self.B_n = jnp.asarray(B_n)
+        self.accel_gate = float(accel_gate)
+        dt_ = self.dt
+        # discrete process noise: attitude from gyro white noise, bias
+        # from its random walk (diagonal — cross terms are O(dt^2))
+        self.Q = jnp.diag(jnp.concatenate([
+            jnp.full(3, (sigma_gyro**2) * dt_),
+            jnp.full(3, (rw_gyro**2) * dt_)]))
+        self.R_acc = jnp.eye(3) * sigma_accel**2
+        self.R_mag = jnp.eye(3) * sigma_mag**2
+
+    def init(self, q_nb=None, att_std=0.3, bias_std=0.01):
+        q0 = jnp.asarray([1.0, 0.0, 0.0, 0.0]) if q_nb is None else \
+            jnp.asarray(q_nb)
+        P0 = jnp.diag(jnp.concatenate([
+            jnp.full(3, att_std**2), jnp.full(3, bias_std**2)]))
+        return AhrsState(q_nb=q0, b_g=jnp.zeros(3), P=P0)
+
+    # ------------------------------------------------------------ predict
+
+    def predict(self, st: AhrsState, omega_m) -> AhrsState:
+        """Propagate one IMU epoch with measured body rates `omega_m`."""
+        w = omega_m - st.b_g
+        q = qnormalize(qmul(st.q_nb, rvec_to_quat(w * self.dt)))
+        # Phi = I + F dt, F = [[-[w x], -I], [0, 0]]
+        I3 = jnp.eye(3, dtype=st.P.dtype)
+        Phi = jnp.block([[I3 - skew(w) * self.dt, -I3 * self.dt],
+                         [jnp.zeros((3, 3), st.P.dtype), I3]])
+        P = Phi @ st.P @ Phi.T + self.Q.astype(st.P.dtype)
+        return AhrsState(q_nb=q, b_g=st.b_g, P=P)
+
+    # ------------------------------------------------------------- update
+
+    def _vector_update(self, st: AhrsState, v_b_meas, v_n_ref, R):
+        """Update from a body-frame observation of a known NED vector.
+        Measurement model: v_b = C(q_nb)ᵀ v_n + v; for the error state,
+        H = [ [v_b_pred x], 0 ]."""
+        v_pred = qrot_inv(st.q_nb, v_n_ref)
+        H = jnp.concatenate(
+            [skew(v_pred), jnp.zeros((3, 3), st.P.dtype)], axis=1)
+        y = v_b_meas - v_pred
+        S = H @ st.P @ H.T + R.astype(st.P.dtype)
+        K = jnp.linalg.solve(S.T, (st.P @ H.T).T).T
+        dx = K @ y
+        IKH = jnp.eye(6, dtype=st.P.dtype) - K @ H
+        P = IKH @ st.P @ IKH.T + K @ R.astype(st.P.dtype) @ K.T
+        # MEKF reset: inject dtheta into the nominal, keep the bias delta
+        q = qnormalize(qmul(st.q_nb, rvec_to_quat(dx[:3])))
+        return AhrsState(q_nb=q, b_g=st.b_g + dx[3:], P=P)
+
+    def update_accel(self, st: AhrsState, f_m) -> AhrsState:
+        """Gravity-direction update, gated to quasi-static epochs: applied
+        only when | |f| - g | < accel_gate (branch-free mask). The
+        accelerometer reads -g in NED when unaccelerated (z-down)."""
+        quasi_static = jnp.abs(
+            jnp.linalg.norm(f_m, axis=-1) - self.g) < self.accel_gate
+        upd = self._vector_update(
+            st, f_m, jnp.asarray([0.0, 0.0, -self.g], st.P.dtype),
+            self.R_acc)
+        return masked_update(quasi_static, upd, st)
+
+    def update_mag(self, st: AhrsState, mag_m) -> AhrsState:
+        return self._vector_update(st, mag_m, self.B_n.astype(st.P.dtype),
+                                   self.R_mag)
+
+    def step(self, st: AhrsState, omega_m, f_m=None, mag_m=None):
+        st = self.predict(st, omega_m)
+        if f_m is not None:
+            st = self.update_accel(st, f_m)
+        if mag_m is not None:
+            st = self.update_mag(st, mag_m)
+        return st
+
+    def run(self, st: AhrsState, omega_ms, f_ms=None, mag_ms=None):
+        """Scan a whole record (leading dim = epochs). Returns the final
+        state and the per-epoch attitude history (K, 4)."""
+
+        have_f, have_m = f_ms is not None, mag_ms is not None
+
+        def body(st, z):
+            om, f, mg = z
+            st = self.step(st, om, f if have_f else None,
+                           mg if have_m else None)
+            return st, st.q_nb
+
+        K = omega_ms.shape[0]
+        zf = jnp.zeros((K, 3), omega_ms.dtype)  # ignored placeholder lanes
+        f_ms = zf if f_ms is None else f_ms
+        mag_ms = zf if mag_ms is None else mag_ms
+        return jax.lax.scan(body, st, (omega_ms, f_ms, mag_ms))
+
+
+def attitude_error_deg(q_est, q_true):
+    """Total rotation angle [deg] between two unit quaternions (batched)."""
+    from flightjax.ops.quaternions import qinv_unit
+    dq = qmul(qinv_unit(q_true), q_est)
+    re = jnp.clip(jnp.abs(dq[..., 0]), 0.0, 1.0)
+    return jnp.degrees(2.0 * jnp.arccos(re))

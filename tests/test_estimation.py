@@ -1,0 +1,185 @@
+"""Estimation tests: Kalman algebra against closed forms, EKF = KF on
+linear models, masked (intermittent) updates, and AHRS convergence on a
+synthetic IMU/mag record generated with the sensor-suite noise idioms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flightjax.ops.attitude import euler_to_quat, rvec_to_quat
+from flightjax.ops.quaternions import qmul, qnormalize, qrot_inv
+from flightjax.utils.estimation import (
+    Ahrs, attitude_error_deg, ekf_predict, ekf_update, kf_predict,
+    kf_update, masked_update)
+
+pytestmark = pytest.mark.fast
+
+
+# ------------------------------------------------------------ linear KF
+
+def test_scalar_kf_steady_state():
+    """Random-walk + direct observation: the steady-state predicted
+    variance solves M = M + q - M^2/(M + r) -> M = (q + sqrt(q^2 + 4qr))/2."""
+    q, r = 0.04, 1.0
+    F = jnp.eye(1)
+    Q = jnp.asarray([[q]])
+    H = jnp.eye(1)
+    R = jnp.asarray([[r]])
+    x, P = jnp.zeros(1), jnp.asarray([[10.0]])
+    for _ in range(200):
+        x, P = kf_predict(x, P, F, Q)
+        x, P, _ = kf_update(x, P, H, jnp.zeros(1), R)
+        x, P = x, P
+    M = float(P[0, 0]) + 0.0
+    # steady-state *updated* variance: P = M r/(M + r) with M the predicted
+    M_pred = (q + np.sqrt(q * q + 4 * q * r)) / 2
+    P_expect = M_pred * r / (M_pred + r)
+    np.testing.assert_allclose(M, P_expect, rtol=1e-10)
+
+
+def test_kf_estimates_constant():
+    """Observing a constant through noise: the estimate converges to the
+    sample-mean rate (variance ~ r/k)."""
+    key = jax.random.PRNGKey(0)
+    truth = 3.7
+    K = 500
+    zs = truth + 0.5 * jax.random.normal(key, (K, 1))
+    F, Q, H, R = jnp.eye(1), jnp.zeros((1, 1)), jnp.eye(1), jnp.asarray([[0.25]])
+
+    def body(carry, z):
+        x, P = carry
+        x, P = kf_predict(x, P, F, Q)
+        x, P, _ = kf_update(x, P, H, z, R)
+        return (x, P), None
+
+    (x, P), _ = jax.lax.scan(body, (jnp.zeros(1), jnp.eye(1) * 100.0), zs)
+    assert abs(float(x[0]) - truth) < 0.1
+    assert float(P[0, 0]) < 1e-3
+
+
+def test_ekf_equals_kf_on_linear_model():
+    F = jnp.asarray([[1.0, 0.1], [0.0, 0.95]])
+    Q = jnp.diag(jnp.asarray([1e-4, 1e-3]))
+    H = jnp.asarray([[1.0, 0.0]])
+    R = jnp.asarray([[0.04]])
+    x0 = jnp.asarray([1.0, -0.5])
+    P0 = jnp.eye(2) * 2.0
+    z = jnp.asarray([1.3])
+
+    xk, Pk = kf_predict(x0, P0, F, Q)
+    xk, Pk, _ = kf_update(xk, Pk, H, z, R)
+
+    xe, Pe = ekf_predict(x0, P0, lambda x: F @ x, Q)
+    xe, Pe, _ = ekf_update(xe, Pe, lambda x: H @ x, z, R)
+
+    np.testing.assert_allclose(np.asarray(xe), np.asarray(xk), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Pe), np.asarray(Pk), rtol=1e-12)
+
+
+def test_masked_update_gates_whole_state():
+    a = (jnp.ones(3), jnp.eye(3))
+    b = (jnp.zeros(3), 2 * jnp.eye(3))
+    on = masked_update(jnp.asarray(True), a, b)
+    off = masked_update(jnp.asarray(False), a, b)
+    np.testing.assert_array_equal(np.asarray(on[0]), np.ones(3))
+    np.testing.assert_array_equal(np.asarray(off[1]), 2 * np.eye(3))
+
+
+# ---------------------------------------------------------------- AHRS
+
+def _synthetic_record(K, dt, seed=0, bias=(4e-3, -2e-3, 3e-3),
+                      sigma_gyro=8.7e-4, sigma_accel=0.02,
+                      sigma_mag=150e-9):
+    """True attitude driven by sinusoidal body rates; IMU/mag records with
+    bias + white noise. Returns (records, q_true stack)."""
+    g_n = jnp.asarray([0.0, 0.0, -9.80665])
+    B_n = jnp.asarray([19.0e-6, 0.0, 45.0e-6])
+    t = jnp.arange(K) * dt
+    omega = jnp.stack([0.3 * jnp.sin(2 * jnp.pi * 0.1 * t),
+                       0.2 * jnp.sin(2 * jnp.pi * 0.17 * t + 1.0),
+                       0.1 * jnp.sin(2 * jnp.pi * 0.05 * t)], axis=-1)
+
+    def prop(q, om):
+        q = qnormalize(qmul(q, rvec_to_quat(om * dt)))
+        return q, q
+
+    q0 = euler_to_quat(jnp.asarray([0.4, 0.05, -0.1]))
+    _, qs = jax.lax.scan(prop, q0, omega)
+
+    key = jax.random.PRNGKey(seed)
+    kg, ka, km = jax.random.split(key, 3)
+    gyro = omega + jnp.asarray(bias) + sigma_gyro * jax.random.normal(
+        kg, (K, 3))
+    acc = jax.vmap(lambda q: qrot_inv(q, g_n))(qs) \
+        + sigma_accel * jax.random.normal(ka, (K, 3))
+    mag = jax.vmap(lambda q: qrot_inv(q, B_n))(qs) \
+        + sigma_mag * jax.random.normal(km, (K, 3))
+    return (gyro, acc, mag), qs
+
+
+def test_ahrs_converges_and_estimates_bias():
+    dt = 0.02
+    K = 3000  # 60 s
+    (gyro, acc, mag), qs = _synthetic_record(K, dt)
+    ahrs = Ahrs(dt=dt)
+    # start 20 deg off in every axis
+    q_init = qnormalize(qmul(qs[0], rvec_to_quat(jnp.full(3, 0.2))))
+    st, q_hist = ahrs.run(ahrs.init(q_nb=q_init), gyro, acc, mag)
+
+    err_end = attitude_error_deg(q_hist[-1], qs[-1])
+    assert float(err_end) < 1.0, float(err_end)
+    # mean error over the last 10 s below a degree
+    tail = attitude_error_deg(q_hist[-500:], qs[-500:])
+    assert float(jnp.mean(tail)) < 1.0
+    # gyro bias identified
+    np.testing.assert_allclose(np.asarray(st.b_g),
+                               [4e-3, -2e-3, 3e-3], atol=1.5e-3)
+    # covariance stayed symmetric PD
+    P = np.asarray(st.P)
+    np.testing.assert_allclose(P, P.T, rtol=1e-8)
+    assert np.all(np.linalg.eigvalsh(P) > 0)
+
+
+def test_ahrs_accel_gate_rejects_dynamic_epochs():
+    """A large non-gravitational acceleration must not corrupt the
+    attitude: the gate freezes the accel update."""
+    ahrs = Ahrs(dt=0.02)
+    st = ahrs.init(q_nb=euler_to_quat(jnp.asarray([0.0, 0.0, 0.0])))
+    f_bad = jnp.asarray([5.0, 0.0, -9.80665])  # |f| far from g
+    upd = ahrs.update_accel(st, f_bad)
+    np.testing.assert_array_equal(np.asarray(upd.q_nb), np.asarray(st.q_nb))
+    np.testing.assert_array_equal(np.asarray(upd.P), np.asarray(st.P))
+
+
+def test_ahrs_vmaps_over_fleet():
+    dt, K, B = 0.02, 400, 4
+    records = [_synthetic_record(K, dt, seed=i) for i in range(B)]
+    gyro = jnp.stack([r[0][0] for r in records])
+    acc = jnp.stack([r[0][1] for r in records])
+    mag = jnp.stack([r[0][2] for r in records])
+    q_true = jnp.stack([r[1][-1] for r in records])
+    ahrs = Ahrs(dt=dt)
+
+    def one(g, a, m):
+        st, _ = ahrs.run(ahrs.init(), g, a, m)
+        return st.q_nb
+
+    q_est = jax.vmap(one)(gyro, acc, mag)
+    err = attitude_error_deg(q_est, q_true)
+    assert q_est.shape == (B, 4)
+    assert float(jnp.max(err)) < 5.0  # short record, loose band
+
+
+def test_ahrs_gyro_only_drifts_but_runs():
+    """Without aiding, the filter integrates gyro only (placeholder lanes
+    must not update) and covariance grows."""
+    dt, K = 0.02, 200
+    (gyro, _, _), qs = _synthetic_record(K, dt, bias=(0.0, 0.0, 0.0))
+    ahrs = Ahrs(dt=dt)
+    st0 = ahrs.init(q_nb=qs[0])
+    st, _ = ahrs.run(st0, gyro)
+    # covariance grows without aiding (process noise only adds)
+    assert float(jnp.trace(st.P[:3, :3])) > float(jnp.trace(st0.P[:3, :3]))
+    # attitude still tracks open-loop over 4 s of small noise
+    assert float(attitude_error_deg(st.q_nb, qs[-1])) < 2.0
