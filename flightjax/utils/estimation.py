@@ -36,7 +36,8 @@ from flightjax.ops.quaternions import qmul, qnormalize, qrot_inv
 
 __all__ = [
     "kf_predict", "kf_update", "ekf_predict", "ekf_update",
-    "masked_update", "Ahrs", "AhrsState",
+    "masked_update", "Ahrs", "AhrsState", "Ins", "InsState",
+    "ned_from_geodetic", "attitude_error_deg",
 ]
 
 
@@ -216,3 +217,135 @@ def attitude_error_deg(q_est, q_true):
     dq = qmul(qinv_unit(q_true), q_est)
     re = jnp.clip(jnp.abs(dq[..., 0]), 0.0, 1.0)
     return jnp.degrees(2.0 * jnp.arccos(re))
+
+
+# ------------------------------------------------------------------- INS
+
+def ned_from_geodetic(lat, lon, h, lat0, lon0, h0):
+    """Local-tangent NED position [m] of (lat, lon, h) relative to the
+    origin (lat0, lon0, h0), small-offset linearization through the
+    origin's radii of curvature (adequate for the km-scale legs the nav
+    filter works over; the full geodesy lives in `ops.geodesy`)."""
+    from flightjax.ops import geodesy as geo
+    n0 = geo.nvector_from_latlon(lat0, lon0)
+    M, N = geo.radii(n0)
+    dN = (lat - lat0) * (M + h0)
+    dE = (lon - lon0) * (N + h0) * jnp.cos(lat0)
+    dD = h0 - h
+    return jnp.stack([dN, dE, dD], axis=-1)
+
+
+class InsState(NamedTuple):
+    p_n: jnp.ndarray   # (3,) NED position relative to the filter origin [m]
+    v_n: jnp.ndarray   # (3,) NED velocity [m/s]
+    b_a: jnp.ndarray   # (3,) accelerometer bias estimate [m/s^2]
+    P: jnp.ndarray     # (9, 9)
+
+
+class Ins:
+    """Loosely-coupled 9-state inertial navigator: position, velocity and
+    accelerometer bias in local NED, mechanized with the accelerometer
+    specific force rotated by an externally supplied attitude (cascade
+    architecture: pair with `Ahrs` for the full IMU+GPS+baro stack, or
+    feed truth attitude to isolate translational errors).
+
+    Predict:  v+ = v + (C_nb (f_m - b_a) + g_n) dt,  p+ = p + v dt
+    Updates:  GPS position/velocity (gate on `gps_new` via
+    `masked_update`), baro altitude (observes -p_d + h_origin).
+    """
+
+    def __init__(self, dt, sigma_accel=0.02, rw_accel=1.0e-3,
+                 sigma_gps_pos=1.6, sigma_gps_vel=0.06, sigma_baro=1.5,
+                 g=9.80665):
+        self.dt = float(dt)
+        self.g_n = jnp.asarray([0.0, 0.0, g])
+        dt_ = self.dt
+        self.Q = jnp.diag(jnp.concatenate([
+            jnp.full(3, 1e-8),                       # position pseudo-noise
+            jnp.full(3, (sigma_accel**2) * dt_),     # velocity from accel white
+            jnp.full(3, (rw_accel**2) * dt_)]))      # bias random walk
+        self.R_pos = jnp.eye(3) * sigma_gps_pos**2
+        self.R_vel = jnp.eye(3) * sigma_gps_vel**2
+        self.R_baro = jnp.asarray([[sigma_baro**2]])
+
+    def init(self, p_n=None, v_n=None, pos_std=5.0, vel_std=0.5,
+             bias_std=0.05):
+        z = jnp.zeros(3)
+        P0 = jnp.diag(jnp.concatenate([
+            jnp.full(3, pos_std**2), jnp.full(3, vel_std**2),
+            jnp.full(3, bias_std**2)]))
+        return InsState(p_n=z if p_n is None else jnp.asarray(p_n),
+                        v_n=z if v_n is None else jnp.asarray(v_n),
+                        b_a=z, P=P0)
+
+    def predict(self, st: InsState, f_m, q_nb) -> InsState:
+        from flightjax.ops.attitude import quat_to_matrix
+        C = quat_to_matrix(q_nb)
+        a_n = C @ (f_m - st.b_a) + self.g_n.astype(st.P.dtype)
+        v = st.v_n + a_n * self.dt
+        p = st.p_n + st.v_n * self.dt + 0.5 * a_n * self.dt**2
+        I3 = jnp.eye(3, dtype=st.P.dtype)
+        Z3 = jnp.zeros((3, 3), st.P.dtype)
+        Phi = jnp.block([[I3, I3 * self.dt, Z3],
+                         [Z3, I3, -C * self.dt],
+                         [Z3, Z3, I3]])
+        P = Phi @ st.P @ Phi.T + self.Q.astype(st.P.dtype)
+        return InsState(p_n=p, v_n=v, b_a=st.b_a, P=P)
+
+    def _update(self, st: InsState, H, y, R):
+        S = H @ st.P @ H.T + R.astype(st.P.dtype)
+        K = jnp.linalg.solve(S.T, (st.P @ H.T).T).T
+        dx = K @ y
+        IKH = jnp.eye(9, dtype=st.P.dtype) - K @ H
+        P = IKH @ st.P @ IKH.T + K @ R.astype(st.P.dtype) @ K.T
+        return InsState(p_n=st.p_n + dx[0:3], v_n=st.v_n + dx[3:6],
+                        b_a=st.b_a + dx[6:9], P=P)
+
+    def update_gps(self, st: InsState, p_meas, v_meas, valid=True):
+        I3 = jnp.eye(3, dtype=st.P.dtype)
+        Z3 = jnp.zeros((3, 3), st.P.dtype)
+        Hp = jnp.concatenate([I3, Z3, Z3], axis=1)
+        Hv = jnp.concatenate([Z3, I3, Z3], axis=1)
+        upd = self._update(st, Hp, p_meas - st.p_n, self.R_pos)
+        upd = self._update(upd, Hv, v_meas - upd.v_n, self.R_vel)
+        return masked_update(jnp.asarray(valid), upd, st)
+
+    def update_baro(self, st: InsState, h_meas, h_origin):
+        """Baro observes altitude above the filter origin: h - h_origin =
+        -p_d."""
+        H = jnp.zeros((1, 9), st.P.dtype).at[0, 2].set(-1.0)
+        y = jnp.atleast_1d(h_meas - h_origin + st.p_n[2])
+        return self._update(st, H, y, self.R_baro)
+
+    def step(self, st: InsState, f_m, q_nb, gps_p=None, gps_v=None,
+             gps_new=False, h_baro=None, h_origin=0.0):
+        st = self.predict(st, f_m, q_nb)
+        if gps_p is not None:
+            st = self.update_gps(st, gps_p, gps_v, valid=gps_new)
+        if h_baro is not None:
+            st = self.update_baro(st, h_baro, h_origin)
+        return st
+
+    def run(self, st: InsState, f_ms, q_nbs, gps_ps=None, gps_vs=None,
+            gps_news=None, h_baros=None, h_origin=0.0):
+        """Scan a whole record. Returns (final, (p_n, v_n) histories)."""
+        have_gps = gps_ps is not None
+        have_baro = h_baros is not None
+        K = f_ms.shape[0]
+        z3 = jnp.zeros((K, 3), f_ms.dtype)
+        z1 = jnp.zeros((K,), f_ms.dtype)
+        gps_ps = z3 if gps_ps is None else gps_ps
+        gps_vs = z3 if gps_vs is None else gps_vs
+        gps_news = jnp.zeros(K, bool) if gps_news is None else gps_news
+        h_baros = z1 if h_baros is None else h_baros
+
+        def body(st, z):
+            f, q, gp, gv, gn, hb = z
+            st = self.step(st, f, q,
+                           gp if have_gps else None,
+                           gv if have_gps else None, gn,
+                           hb if have_baro else None, h_origin)
+            return st, (st.p_n, st.v_n)
+
+        return jax.lax.scan(body, st,
+                            (f_ms, q_nbs, gps_ps, gps_vs, gps_news, h_baros))

@@ -183,3 +183,106 @@ def test_ahrs_gyro_only_drifts_but_runs():
     assert float(jnp.trace(st.P[:3, :3])) > float(jnp.trace(st0.P[:3, :3]))
     # attitude still tracks open-loop over 4 s of small noise
     assert float(attitude_error_deg(st.q_nb, qs[-1])) < 2.0
+
+# ----------------------------------------------------------------- INS
+
+def test_ins_static_converges_bias():
+    """Stationary vehicle, level attitude: with GPS at 1 Hz the filter
+    must hold position and identify a constant accelerometer bias."""
+    from flightjax.utils.estimation import Ins
+    dt, K = 0.02, 3000  # 60 s
+    ins = Ins(dt=dt)
+    bias = jnp.asarray([0.05, -0.03, 0.08])
+    g = 9.80665
+    key = jax.random.PRNGKey(1)
+    f_ms = (jnp.asarray([0.0, 0.0, -g]) + bias
+            + 0.02 * jax.random.normal(key, (K, 3)))
+    q_nbs = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (K, 4))
+    gps_news = (jnp.arange(K) % 50) == 0
+    kp, kv = jax.random.split(jax.random.PRNGKey(2))
+    gps_ps = 1.5 * jax.random.normal(kp, (K, 3))       # truth at origin
+    gps_vs = 0.05 * jax.random.normal(kv, (K, 3))
+    st, (p_hist, _) = ins.run(ins.init(), f_ms, q_nbs, gps_ps, gps_vs,
+                              gps_news)
+    assert float(jnp.linalg.norm(st.p_n)) < 3.0
+    assert float(jnp.linalg.norm(st.v_n)) < 0.3
+    np.testing.assert_allclose(np.asarray(st.b_a), np.asarray(bias),
+                               atol=0.02)
+    P = np.asarray(st.P)
+    np.testing.assert_allclose(P, P.T, rtol=1e-8)
+    assert np.all(np.linalg.eigvalsh(P) > 0)
+
+
+def test_ins_gps_outage_drifts_then_recovers():
+    """During a GPS outage the position error grows; after reacquisition
+    it snaps back within the GPS noise floor."""
+    from flightjax.utils.estimation import Ins
+    dt, K = 0.02, 4000
+    ins = Ins(dt=dt)
+    g = 9.80665
+    key = jax.random.PRNGKey(5)
+    f_ms = jnp.asarray([0.0, 0.0, -g]) + 0.02 * jax.random.normal(
+        key, (K, 3))
+    q_nbs = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (K, 4))
+    epoch = (jnp.arange(K) % 50) == 0
+    outage = (jnp.arange(K) >= 1000) & (jnp.arange(K) < 3000)
+    gps_news = epoch & ~outage
+    gps_ps = jnp.zeros((K, 3))
+    gps_vs = jnp.zeros((K, 3))
+    # seed a velocity error so the outage integrates it into position
+    st0 = ins.init(v_n=jnp.asarray([0.3, -0.2, 0.0]))
+    _, (p_hist, _) = ins.run(st0, f_ms, q_nbs, gps_ps, gps_vs, gps_news)
+    err = jnp.linalg.norm(p_hist, axis=-1)
+    # error present during outage, pulled back under 1 m at the end
+    assert float(jnp.max(err[1000:3000])) > float(err[-1])
+    assert float(err[-1]) < 1.0
+
+
+def test_c172_full_navigation_stack():
+    """Cascade on real physics: C172 flight -> SensorSuite -> AHRS
+    (attitude) -> INS (position/velocity, GPS@1Hz + baro). Position error
+    must stay within a few metres of truth over 10 s."""
+    from flightjax.core.sim import Simulation, SimState
+    from flightjax.models.c172 import c172s, common as C172
+    from flightjax.physics.sensors import SensorSuite, measure_trajectory
+    from flightjax.utils.estimation import Ahrs, Ins, ned_from_geodetic
+
+    world = c172s.flagship_world("wa")
+    sim = Simulation(world, dt=0.02)
+    vehicle = world.aircraft.vehicle
+    x, u, s, _, rnorm = c172s.trim(vehicle, C172.trim_parameters())
+    assert float(rnorm) < 1e-8
+    state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, jnp.int32),
+                     x={"vehicle": x}, u={"vehicle": u},
+                     s={"vehicle": s, "terminated": jnp.asarray(False)})
+    _, log = sim.run(state, t_end=10.0, save_y=True)
+    kins = log.y.vehicle.kinematics
+    airs, dyns = log.y.vehicle.airflow, log.y.vehicle.dynamics
+
+    suite = SensorSuite(dt=0.02, gps_every=50)
+    u_s = {"seed": jnp.asarray(3, jnp.int32),
+           "params": suite.init_u()["params"]}
+    s0 = suite.init_s(u_s, init_key=jax.random.PRNGKey(9))
+    zs, _ = measure_trajectory(suite, u_s, s0, kins, airs, dyns)
+
+    ahrs = Ahrs(dt=0.02)
+    _, q_est = ahrs.run(ahrs.init(q_nb=kins.q_nb[0]), zs.omega_b, zs.f_b,
+                        zs.mag_b)
+
+    lat0, lon0, h0 = kins.lat[0], kins.lon[0], kins.h_e[0]
+    gps_ps = ned_from_geodetic(zs.gps_lat, zs.gps_lon, zs.gps_h,
+                               lat0, lon0, h0)
+    p_true = ned_from_geodetic(kins.lat, kins.lon, kins.h_e,
+                               lat0, lon0, h0)
+
+    ins = Ins(dt=0.02)
+    st0 = ins.init(v_n=kins.v_eb_n[0])
+    # baro origin: indicated altitude at t0 corresponds to p_d = 0
+    st, (p_hist, v_hist) = ins.run(st0, zs.f_b, q_est, gps_ps, zs.gps_v_n,
+                                   zs.gps_new, h_baros=zs.h_baro,
+                                   h_origin=zs.h_baro[0])
+    perr = jnp.linalg.norm(p_hist - p_true, axis=-1)
+    verr = jnp.linalg.norm(v_hist - kins.v_eb_n, axis=-1)
+    assert float(jnp.max(perr)) < 8.0, float(jnp.max(perr))
+    assert float(perr[-1]) < 5.0, float(perr[-1])
+    assert float(jnp.mean(verr)) < 0.5, float(jnp.mean(verr))
