@@ -383,3 +383,36 @@ def measure_trajectory(suite: SensorSuite, u, s0, kins, airs, dyns,
 
     s_end, zs = jax.lax.scan(body, s0, (kins, airs, dyns))
     return zs, s_end
+
+
+# --------------------------------------------------------------------------
+# Fault injection (failure studies; SURVEY §5 failure-detection theme)
+
+def inject_fault(zs: SensorData, field: str, mode: str, k0, k1=None,
+                 delta=0.0) -> SensorData:
+    """Inject a fault into one channel of a `SensorData` record (leading
+    dim = epochs) — pure, mask-based, vmappable over fleets (`k0/k1/delta`
+    may be per-lane arrays):
+
+    - "freeze":    the channel holds its value at epoch k0 from k0 on
+                   (stuck sensor);
+    - "bias_jump": `delta` is added from k0 on (latent hardover/step);
+    - "dropout":   the channel reads zero on [k0, k1) (power loss —
+                   detectable; NaNs would poison downstream filters).
+
+    Returns a new SensorData; the truth record is not modified."""
+    z = getattr(zs, field)
+    K = z.shape[0]
+    k = jnp.arange(K).reshape((K,) + (1,) * (z.ndim - 1))
+    after = k >= k0
+    if mode == "freeze":
+        frozen = jnp.take(z, jnp.asarray(k0), axis=0)
+        out = jnp.where(after, frozen, z)
+    elif mode == "bias_jump":
+        out = jnp.where(after, z + delta, z)
+    elif mode == "dropout":
+        upto = k < (K if k1 is None else k1)
+        out = jnp.where(after & upto, jnp.zeros_like(z), z)
+    else:
+        raise ValueError(f"unknown fault mode {mode!r}")
+    return zs._replace(**{field: out})

@@ -37,7 +37,7 @@ from flightjax.ops.quaternions import qmul, qnormalize, qrot_inv
 __all__ = [
     "kf_predict", "kf_update", "ekf_predict", "ekf_update",
     "masked_update", "Ahrs", "AhrsState", "Ins", "InsState",
-    "ned_from_geodetic", "attitude_error_deg",
+    "ned_from_geodetic", "attitude_error_deg", "nis", "innovation_monitor",
 ]
 
 
@@ -349,3 +349,38 @@ class Ins:
 
         return jax.lax.scan(body, st,
                             (f_ms, q_nbs, gps_ps, gps_vs, gps_news, h_baros))
+
+
+# ---------------------------------------------------------- fault detection
+
+def nis(y, S):
+    """Normalized innovation squared yᵀ S⁻¹ y — chi-square distributed
+    with dim(y) degrees of freedom when the filter is consistent. The
+    standard residual test for sensor-fault detection: compare against a
+    chi-square quantile (e.g. 16.3 = 99.9% for 3 DoF) and flag epochs
+    above it."""
+    return y @ jnp.linalg.solve(S, y)
+
+
+def innovation_monitor(threshold, window=10, min_hits=5):
+    """Builds a scan-friendly persistent fault monitor: `update(state,
+    nis_value, valid)` pushes one epoch's NIS into a ring counter and
+    returns (state, alarm) — alarm latches when >= `min_hits` of the last
+    `window` *valid* epochs exceeded `threshold`. Branch-free; vmappable.
+    """
+    def init():
+        return {"hits": jnp.zeros(window, jnp.int32),
+                "idx": jnp.asarray(0, jnp.int32),
+                "alarm": jnp.asarray(False)}
+
+    def update(st, nis_value, valid=True):
+        valid = jnp.asarray(valid)
+        hit = jnp.where(valid & (nis_value > threshold), 1, 0).astype(
+            jnp.int32)
+        hits = jnp.where(
+            valid, st["hits"].at[st["idx"] % window].set(hit), st["hits"])
+        idx = st["idx"] + valid.astype(jnp.int32)
+        alarm = st["alarm"] | (jnp.sum(hits) >= min_hits)
+        return {"hits": hits, "idx": idx, "alarm": alarm}, alarm
+
+    return init, update

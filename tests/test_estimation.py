@@ -286,3 +286,94 @@ def test_c172_full_navigation_stack():
     assert float(jnp.max(perr)) < 8.0, float(jnp.max(perr))
     assert float(perr[-1]) < 5.0, float(perr[-1])
     assert float(jnp.mean(verr)) < 0.5, float(jnp.mean(verr))
+
+
+# ------------------------------------------------------- fault detection
+
+def test_nis_chi_square_consistency():
+    """For a consistent filter, E[NIS] = dim(y)."""
+    from flightjax.utils.estimation import nis
+    key = jax.random.PRNGKey(0)
+    S = jnp.diag(jnp.asarray([0.5, 2.0, 1.3]))
+    L = jnp.sqrt(S)
+    ys = (L @ jax.random.normal(key, (3, 4096))).T
+    vals = jax.vmap(lambda y: nis(y, S))(ys)
+    assert 2.8 < float(jnp.mean(vals)) < 3.2
+
+
+def test_frozen_gps_detected_by_innovation_monitor():
+    """Freeze the GPS mid-run on a moving vehicle: the INS position
+    innovation NIS must blow past the chi-square gate and the monitor
+    must latch an alarm only after the fault."""
+    from flightjax.physics.sensors import inject_fault
+    from flightjax.utils.estimation import (Ins, innovation_monitor,
+                                            masked_update, nis)
+    dt, K = 0.02, 2000
+    ins = Ins(dt=dt)
+    g = 9.80665
+    # constant-velocity truth northbound at 60 m/s
+    v_true = jnp.asarray([60.0, 0.0, 0.0])
+    t = jnp.arange(K, dtype=jnp.float64) * dt
+    p_true = t[:, None] * v_true
+    key = jax.random.PRNGKey(3)
+    f_ms = jnp.asarray([0.0, 0.0, -g]) + 0.02 * jax.random.normal(
+        key, (K, 3))
+    q_nbs = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (K, 4))
+    kp, kv = jax.random.split(jax.random.PRNGKey(4))
+    gps_ps = p_true + 1.5 * jax.random.normal(kp, (K, 3))
+    gps_vs = v_true + 0.05 * jax.random.normal(kv, (K, 3))
+    # reuse SensorData-style injection on a bare array via the same masks
+    k_fault = 1000
+    frozen = jnp.where((jnp.arange(K) >= k_fault)[:, None],
+                       gps_ps[k_fault], gps_ps)
+    gps_news = (jnp.arange(K) % 50) == 0
+
+    I3 = jnp.eye(3)
+    Z3 = jnp.zeros((3, 3))
+    Hp = jnp.concatenate([I3, Z3, Z3], axis=1)
+    mon_init, mon_update = innovation_monitor(threshold=16.27,  # chi2_3 99.9%
+                                              window=6, min_hits=3)
+
+    def body(carry, z):
+        st, mon = carry
+        f, q, gp, gv, gn = z
+        st = ins.predict(st, f, q)
+        y = gp - st.p_n
+        S = Hp @ st.P @ Hp.T + ins.R_pos
+        nis_val = nis(y, S)
+        upd = ins.update_gps(st, gp, gv, valid=gn)
+        mon, alarm = mon_update(mon, nis_val, valid=gn)
+        return (upd, mon), (nis_val, alarm)
+
+    st0 = ins.init(v_n=v_true)
+    (_, mon), (nis_hist, alarms) = jax.lax.scan(
+        body, (st0, mon_init()), (f_ms, q_nbs, frozen, gps_vs, gps_news))
+    alarms = np.asarray(alarms)
+    # no alarm before the fault, alarm latched well after it
+    assert not alarms[:k_fault].any()
+    assert alarms[-1]
+    # and the faulty-epoch NIS dwarfs the healthy ones
+    healthy = np.asarray(nis_hist)[np.asarray(gps_news) & (np.arange(K) < k_fault)]
+    faulty = np.asarray(nis_hist)[np.asarray(gps_news) & (np.arange(K) >= k_fault + 200)]
+    assert faulty.min() > healthy.max()
+
+
+def test_inject_fault_modes():
+    from flightjax.physics.sensors import inject_fault, SensorData
+    K = 10
+    base = jnp.arange(K, dtype=jnp.float64)
+    zs = SensorData(*([jnp.zeros((K, 3))] * 2 + [base] * 5
+                      + [jnp.zeros((K, 3))] + [base] * 3
+                      + [jnp.zeros((K, 3))] + [jnp.zeros(K, bool)]
+                      + [base] + [jnp.ones(K, bool)]))
+    fr = inject_fault(zs, "p_s", "freeze", 4)
+    np.testing.assert_array_equal(np.asarray(fr.p_s),
+                                  [0, 1, 2, 3, 4, 4, 4, 4, 4, 4])
+    bj = inject_fault(zs, "p_s", "bias_jump", 6, delta=100.0)
+    np.testing.assert_array_equal(np.asarray(bj.p_s[6:]),
+                                  np.asarray(base[6:]) + 100.0)
+    do = inject_fault(zs, "p_s", "dropout", 2, k1=5)
+    np.testing.assert_array_equal(np.asarray(do.p_s),
+                                  [0, 1, 0, 0, 0, 5, 6, 7, 8, 9])
+    # untouched channels identical
+    np.testing.assert_array_equal(np.asarray(do.CAS), np.asarray(zs.CAS))
