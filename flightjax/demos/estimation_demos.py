@@ -69,7 +69,8 @@ def fleet_navigation_study(n_lanes=64, t_end=30.0, dt=0.02,
     trajectory (sensor noise, not airframe scatter, is the study axis)
     but draw independent noise streams and turn-on biases. Returns the
     per-lane final/max attitude errors and the fraction inside the error
-    budget."""
+    budget. For the joint trajectory x sensor-grade study, see
+    `joint_navigation_study`."""
     _, kins, airs, dyns = _truth_trajectory(t_end, dt)
     suite = SensorSuite(dt=dt)
     params = suite.init_u()["params"]
@@ -92,6 +93,151 @@ def fleet_navigation_study(n_lanes=64, t_end=30.0, dt=0.02,
     return {"err_final_deg": err_final, "err_max_deg": err_max,
             "frac_within_budget": float(within),
             "p95_max_err_deg": float(jnp.percentile(err_max, 95.0))}
+
+
+# ---------------------------------------------------------------------------
+# Joint trajectory x sensor-grade navigation Monte Carlo (VERDICT r3 #6)
+
+def nav_fleet_setup(n_lanes=32, dt=0.02, W20_max=7.7, grade_range=(0.5, 2.0),
+                    key=None, use_estimates=True):
+    """Closed-loop nav fleet with JOINTLY randomized conditions: per-lane
+    Dryden severity (W20 ~ U[0, W20_max]) + `monte_carlo_c172` winds /
+    payload / fuel, per-lane sensor grade (IMU noise scale ~
+    U[grade_range]) and independent sensor streams. Each lane flies the
+    C172X turning climb on its OWN estimated states
+    (`physics.navigation.NavAvionics`) through its OWN turbulence — the
+    joint study the fleet machinery exists for. Returns (sim, state)."""
+    from flightjax.core.sim import Simulation
+    from flightjax.models.c172 import c172x, common as C172
+    from flightjax.models.c172 import c172x_ctl as CTL
+    from flightjax.parallel import fleet
+    from flightjax.physics.aircraftbase import SimpleWorld
+    from flightjax.physics.sensors import pressure_altitude
+    from flightjax.physics.turbulence import DrydenTurbulence
+
+    key = jax.random.PRNGKey(0x17A) if key is None else key
+    aircraft = c172x.build_xv1_nav("wa", periodic_dt=dt,
+                                   use_estimates=use_estimates,
+                                   turbulence=DrydenTurbulence(dt))
+    world = SimpleWorld(aircraft)
+    sim = Simulation(world, dt=dt, periodic_dt=dt)
+    state, _, _ = c172x.trim_world(aircraft, C172.trim_parameters(),
+                                   periodic_dt=dt)
+
+    # engage the turning climb
+    av = dict(state.u["avionics"])
+    inner = {"lon": dict(av["inner"]["lon"]), "lat": dict(av["inner"]["lat"])}
+    inner["lon"].update(mode_req=jnp.asarray(CTL.LON_EAS_CLM, jnp.int32),
+                        EAS_ref=jnp.asarray(45.0), clm_ref=jnp.asarray(1.5))
+    inner["lat"].update(mode_req=jnp.asarray(CTL.LAT_CHI_BETA, jnp.int32),
+                        chi_ref=jnp.asarray(jnp.pi / 2))
+    av["inner"] = inner
+    state = state._replace(u=dict(state.u, avionics=av))
+
+    st = fleet.broadcast_state(state, n_lanes)
+    k_mc, k_w20, k_grade, k_seed = jax.random.split(key, 4)
+    st = fleet.monte_carlo_c172(st, k_mc, wind_std=3.0, h_jitter=30.0)
+
+    veh_u = dict(st.u["vehicle"])
+    veh_u["turb"] = dict(veh_u["turb"], W20=jax.random.uniform(
+        k_w20, (n_lanes,), minval=0.0, maxval=W20_max))
+    av_u = dict(st.u["avionics"])
+    grade = jax.random.uniform(k_grade, (n_lanes,), minval=grade_range[0],
+                               maxval=grade_range[1])
+    # per-lane sensor grade: scale the (already lane-broadcast) IMU noise
+    # leaves; grade has shape (B,), the leaves (B,) or (B, 3)
+    params = dict(av_u["sens"]["params"])
+    imu = dict(params["imu"])
+    for k in ("sigma_gyro", "sigma_accel", "rw_gyro", "rw_accel"):
+        imu[k] = imu[k] * grade
+    params["imu"] = imu
+    av_u["sens"] = dict(av_u["sens"], params=params,
+                        seed=jax.random.randint(k_seed, (n_lanes,), 0,
+                                                2**31 - 1, jnp.int32))
+
+    # re-align each lane's filter origin at its jittered altitude: the
+    # INS starts at p_n = 0, so h0/baro_datum must be the LANE's own fix
+    qnh_scalar = state.u["avionics"]["sens"]["params"]["baro"]["qnh"]
+
+    def realign(x_v, u_v, s_v, org):
+        _, y = aircraft.vehicle.f_ode(x_v, u_v, s_v, 0.0)
+        kin, air = y.kinematics, y.airflow
+        datum = (pressure_altitude(air.p) - pressure_altitude(qnh_scalar)
+                 - kin.h_e)
+        return dict(org, lat0=kin.lat, lon0=kin.lon, h0=kin.h_e,
+                    baro_datum=datum)
+
+    av_u["origin"] = jax.vmap(realign)(
+        st.x["vehicle"], st.u["vehicle"], st.s["vehicle"], av_u["origin"])
+    st = st._replace(u=dict(st.u, vehicle=veh_u, avionics=av_u))
+    return sim, st
+
+
+def fleet_rollout_nav_errors(sim, state, n_steps, sample_every=10):
+    """Roll a nav-avionics fleet while tracking each lane's peak
+    attitude-estimate error [deg] and horizontal position-estimate error
+    [m] — the navigation counterpart of `fleet.fleet_rollout_loads`.
+    Returns (final_state, peak_att_deg, peak_pos_m)."""
+    from flightjax.utils.estimation import ned_from_geodetic
+
+    n_outer, rem = divmod(int(n_steps), int(sample_every))
+    if rem:
+        raise ValueError("n_steps must be a multiple of sample_every")
+
+    def errors(st):
+        def one(st1):
+            y = sim.output(st1, ())
+            kin = y.vehicle.kinematics
+            nav = y.avionics["nav"]
+            org = st1.u["avionics"]["origin"]
+            att = attitude_error_deg(nav["q_nb"], kin.q_nb)
+            p_true = ned_from_geodetic(kin.lat, kin.lon, kin.h_e,
+                                       org["lat0"], org["lon0"], org["h0"])
+            pos = jnp.linalg.norm(nav["p_n"][:2] - p_true[:2])
+            return att, pos
+        return jax.vmap(one)(st)
+
+    @jax.jit
+    def roll(st):
+        def inner(s, _):
+            return sim.fleet_step(s, ()), None
+
+        def outer(carry, _):
+            s, pa, pp = carry
+            s, _ = jax.lax.scan(inner, s, None, length=sample_every)
+            att, pos = errors(s)
+            return (s, jnp.maximum(pa, att), jnp.maximum(pp, pos)), None
+
+        a0, p0 = errors(st)
+        (s, pa, pp), _ = jax.lax.scan(outer, (st, a0, p0), None,
+                                      length=n_outer)
+        return s, pa, pp
+
+    return roll(state)
+
+
+def joint_navigation_study(n_lanes=32, t_end=30.0, dt=0.02,
+                           att_thresholds=(0.5, 1.0, 2.0, 5.0),
+                           pos_thresholds=(2.0, 5.0, 10.0, 25.0),
+                           key=None):
+    """The certification-style joint Monte Carlo: turbulence severity x
+    maneuver randomization x sensor grade, each lane flying closed-loop
+    on its own estimates, reporting navigation-error exceedance the same
+    way the gust-load study reports load exceedance
+    (`fleet.exceedance`)."""
+    from flightjax.parallel import fleet
+
+    sim, st = nav_fleet_setup(n_lanes, dt, key=key)
+    n_steps = int(round(t_end / dt))
+    final, peak_att, peak_pos = fleet_rollout_nav_errors(
+        sim, st, n_steps, sample_every=10)
+    return {
+        "peak_att_deg": peak_att, "peak_pos_m": peak_pos,
+        "att_exceedance": fleet.exceedance(peak_att, att_thresholds),
+        "pos_exceedance": fleet.exceedance(peak_pos, pos_thresholds),
+        "p95_att_deg": float(jnp.percentile(peak_att, 95.0)),
+        "p95_pos_m": float(jnp.percentile(peak_pos, 95.0)),
+    }
 
 
 if __name__ == "__main__":

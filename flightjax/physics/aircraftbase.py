@@ -345,13 +345,21 @@ class Aircraft(Component):
     periodic_dt = 0.02
 
     def f_periodic(self, x, u, s, t, k):
-        """Avionics periodic pass + assignment (`aircraftbase.jl:232-242`)."""
+        """Avionics periodic pass + assignment (`aircraftbase.jl:232-242`).
+        Avionics with `needs_terrain = True` (e.g. `physics.navigation.
+        NavAvionics` — its radar altimeter references the ground) also
+        receive the terrain elevation under the vehicle as `h_trn`."""
         if self.avionics is None:
             return x, u, s
         _, veh_y = self.vehicle.f_ode(x["vehicle"], u["vehicle"],
                                       s["vehicle"], t)
+        kw = {}
+        if getattr(self.avionics, "needs_terrain", False):
+            trn = self.vehicle.terrain.terrain_data(
+                u["vehicle"]["trn"], veh_y.kinematics.n_e)
+            kw["h_trn"] = trn.elevation
         s_av, av_y = self.avionics.f_periodic(s["avionics"], u["avionics"],
-                                              veh_y, self.periodic_dt)
+                                              veh_y, self.periodic_dt, **kw)
         u_sys = self.avionics.assign(u["vehicle"]["systems"], av_y)
         u = dict(u, vehicle=dict(u["vehicle"], systems=u_sys))
         return x, u, dict(s, avionics=s_av)

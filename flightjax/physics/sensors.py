@@ -130,11 +130,38 @@ def gps_params(sigma_pos=0.5, sigma_vel=0.05, gm_sigma=1.5, gm_tau=60.0):
             "gm_tau": jnp.asarray(gm_tau)}
 
 
-def mag_params(B_n=(19.0e-6, 0.0, 45.0e-6), sigma=150.0e-9,
-               hard_iron=(0.0, 0.0, 0.0)):
-    """NED geomagnetic field [T] (default: mid-latitude, zero declination),
-    white noise std [T], hard-iron offset [T]."""
+def mag_field_ned(magnitude=None, inclination=None, declination=0.0):
+    """NED geomagnetic field vector [T] from the standard per-location
+    triple (total intensity F, inclination I — positive down, declination
+    D — positive east of true north):
+
+        B_n = F * [cos I cos D,  cos I sin D,  sin I]
+
+    The defaults reproduce the historical mid-latitude zero-declination
+    field (19, 0, 45) uT. A heading reference (AHRS) must be fed the SAME
+    field as the magnetometer model — a declination mismatch shows up
+    one-for-one as a heading bias (tested in `tests/test_sensors.py` /
+    `tests/test_estimation.py`)."""
+    if magnitude is None:
+        magnitude = math.hypot(19.0e-6, 45.0e-6)
+    if inclination is None:
+        inclination = math.atan2(45.0, 19.0)  # 67.1 deg, mid-latitude
+    cI = jnp.cos(inclination)
+    return magnitude * jnp.stack([
+        cI * jnp.cos(declination), cI * jnp.sin(declination),
+        jnp.sin(inclination) * jnp.ones_like(jnp.asarray(declination))],
+        axis=-1)
+
+
+def mag_params(B_n=None, sigma=150.0e-9, hard_iron=(0.0, 0.0, 0.0),
+               magnitude=None, inclination=None, declination=0.0):
+    """NED geomagnetic field [T] — either an explicit `B_n` vector or the
+    (magnitude, inclination, declination) triple via `mag_field_ned`
+    (default: mid-latitude, zero declination) — plus white noise std [T]
+    and hard-iron offset [T]."""
     dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if B_n is None:
+        B_n = mag_field_ned(magnitude, inclination, declination)
     return {"B_n": jnp.asarray(B_n, dt), "sigma": jnp.asarray(sigma),
             "hard_iron": jnp.asarray(hard_iron, dt)}
 
@@ -406,7 +433,10 @@ def inject_fault(zs: SensorData, field: str, mode: str, k0, k1=None,
     k = jnp.arange(K).reshape((K,) + (1,) * (z.ndim - 1))
     after = k >= k0
     if mode == "freeze":
-        frozen = jnp.take(z, jnp.asarray(k0), axis=0)
+        # per-lane gather: broadcast k0 over the non-epoch axes, then pick
+        # each lane's own frozen epoch (scalar k0 reduces to a plain take)
+        idx = jnp.broadcast_to(jnp.asarray(k0, jnp.int32), z.shape[1:])
+        frozen = jnp.take_along_axis(z, idx[None, ...], axis=0)
         out = jnp.where(after, frozen, z)
     elif mode == "bias_jump":
         out = jnp.where(after, z + delta, z)

@@ -37,7 +37,8 @@ from flightjax.ops.quaternions import qmul, qnormalize, qrot_inv
 __all__ = [
     "kf_predict", "kf_update", "ekf_predict", "ekf_update",
     "masked_update", "Ahrs", "AhrsState", "Ins", "InsState",
-    "ned_from_geodetic", "attitude_error_deg", "nis", "innovation_monitor",
+    "InsGps", "InsGpsState", "ned_from_geodetic", "attitude_error_deg",
+    "nis", "innovation_monitor",
 ]
 
 
@@ -116,18 +117,29 @@ class Ahrs:
 
     def __init__(self, dt, sigma_gyro=8.7e-4, rw_gyro=3.0e-5,
                  sigma_accel=0.02, sigma_mag=150.0e-9,
-                 B_n=(19.0e-6, 0.0, 45.0e-6), g=9.80665, accel_gate=0.5):
+                 B_n=(19.0e-6, 0.0, 45.0e-6), g=9.80665, accel_gate=0.5,
+                 sigma_grav=0.3):
         self.dt = float(dt)
         self.g = float(g)
+        # NED field the mag update predicts against — MUST match the
+        # magnetometer model's field (`sensors.mag_params`/`mag_field_ned`);
+        # a declination mismatch becomes a one-for-one heading bias.
         self.B_n = jnp.asarray(B_n)
         self.accel_gate = float(accel_gate)
         dt_ = self.dt
         # discrete process noise: attitude from gyro white noise, bias
-        # from its random walk (diagonal — cross terms are O(dt^2))
+        # from its random walk (diagonal — cross terms are O(dt^2)).
+        # sigma_gyro is a PER-SAMPLE white noise std (sensors.imu_params),
+        # so one epoch adds (sigma*dt)^2 of attitude variance; rw_gyro is a
+        # per-sqrt(s) density, so its variance grows as rw^2*dt.
         self.Q = jnp.diag(jnp.concatenate([
-            jnp.full(3, (sigma_gyro**2) * dt_),
+            jnp.full(3, (sigma_gyro * dt_)**2),
             jnp.full(3, (rw_gyro**2) * dt_)]))
-        self.R_acc = jnp.eye(3) * sigma_accel**2
+        # gravity-direction observation error is dominated by UNMODELED
+        # accelerations (gusts, uncompensated maneuver residuals), not the
+        # accelerometer noise floor — weight it accordingly (sigma_grav),
+        # with the sensor noise as the lower bound
+        self.R_acc = jnp.eye(3) * (sigma_grav**2 + sigma_accel**2)
         self.R_mag = jnp.eye(3) * sigma_mag**2
 
     def init(self, q_nb=None, att_std=0.3, bias_std=0.01):
@@ -169,10 +181,23 @@ class Ahrs:
         q = qnormalize(qmul(st.q_nb, rvec_to_quat(dx[:3])))
         return AhrsState(q_nb=q, b_g=st.b_g + dx[3:], P=P)
 
-    def update_accel(self, st: AhrsState, f_m) -> AhrsState:
-        """Gravity-direction update, gated to quasi-static epochs: applied
-        only when | |f| - g | < accel_gate (branch-free mask). The
-        accelerometer reads -g in NED when unaccelerated (z-down)."""
+    def update_accel(self, st: AhrsState, f_m, v_b=None,
+                     omega=None) -> AhrsState:
+        """Gravity-direction update, gated to quasi-gravity epochs:
+        applied only when the (compensated) specific force magnitude is
+        within `accel_gate` of g (branch-free mask). The accelerometer
+        reads -g in NED when unaccelerated (z-down).
+
+        `v_b`/`omega` (body-frame velocity estimate + bias-corrected body
+        rates) enable CENTRIPETAL COMPENSATION, f_grav = f_m - omega x v_b
+        — without it, a sustained coordinated turn (|f| = g/cos(phi),
+        within the gate at light-aircraft bank angles) reads as a tilted
+        gravity vector and drags the attitude toward wings-level, which
+        destabilizes any autopilot flying on the estimate (the flightjax
+        closed-loop case, `physics/navigation.py`). With a velocity
+        source (INS/GPS/TAS), always pass it."""
+        if v_b is not None and omega is not None:
+            f_m = f_m - jnp.cross(omega, v_b)
         quasi_static = jnp.abs(
             jnp.linalg.norm(f_m, axis=-1) - self.g) < self.accel_gate
         upd = self._vector_update(
@@ -184,10 +209,11 @@ class Ahrs:
         return self._vector_update(st, mag_m, self.B_n.astype(st.P.dtype),
                                    self.R_mag)
 
-    def step(self, st: AhrsState, omega_m, f_m=None, mag_m=None):
+    def step(self, st: AhrsState, omega_m, f_m=None, mag_m=None, v_b=None):
         st = self.predict(st, omega_m)
         if f_m is not None:
-            st = self.update_accel(st, f_m)
+            st = self.update_accel(st, f_m, v_b=v_b,
+                                   omega=omega_m - st.b_g)
         if mag_m is not None:
             st = self.update_mag(st, mag_m)
         return st
@@ -260,9 +286,12 @@ class Ins:
         self.dt = float(dt)
         self.g_n = jnp.asarray([0.0, 0.0, g])
         dt_ = self.dt
+        # sigma_accel is per-sample white noise (sensors.imu_params): one
+        # epoch adds (sigma*dt)^2 of velocity variance; rw_accel is a
+        # per-sqrt(s) random-walk density (rw^2*dt).
         self.Q = jnp.diag(jnp.concatenate([
             jnp.full(3, 1e-8),                       # position pseudo-noise
-            jnp.full(3, (sigma_accel**2) * dt_),     # velocity from accel white
+            jnp.full(3, (sigma_accel * dt_)**2),     # velocity from accel white
             jnp.full(3, (rw_accel**2) * dt_)]))      # bias random walk
         self.R_pos = jnp.eye(3) * sigma_gps_pos**2
         self.R_vel = jnp.eye(3) * sigma_gps_vel**2
@@ -286,7 +315,10 @@ class Ins:
         p = st.p_n + st.v_n * self.dt + 0.5 * a_n * self.dt**2
         I3 = jnp.eye(3, dtype=st.P.dtype)
         Z3 = jnp.zeros((3, 3), st.P.dtype)
-        Phi = jnp.block([[I3, I3 * self.dt, Z3],
+        # exact discrete Phi for the mean propagation above: the dt^2 term
+        # couples position to the accel bias exactly as the trapezoidal
+        # position update does (p+ depends on a_n, and da_n/db_a = -C)
+        Phi = jnp.block([[I3, I3 * self.dt, -0.5 * self.dt**2 * C],
                          [Z3, I3, -C * self.dt],
                          [Z3, Z3, I3]])
         P = Phi @ st.P @ Phi.T + self.Q.astype(st.P.dtype)
@@ -349,6 +381,174 @@ class Ins:
 
         return jax.lax.scan(body, st,
                             (f_ms, q_nbs, gps_ps, gps_vs, gps_news, h_baros))
+
+
+# ---------------------------------------------------- fused 15-state INS/GPS
+
+class InsGpsState(NamedTuple):
+    q_nb: jnp.ndarray   # (4,) nominal attitude, body wrt NED
+    v_n: jnp.ndarray    # (3,) NED velocity
+    p_n: jnp.ndarray    # (3,) NED position wrt the filter origin [m]
+    b_g: jnp.ndarray    # (3,) gyro bias [rad/s]
+    b_a: jnp.ndarray    # (3,) accel bias [m/s^2]
+    P: jnp.ndarray      # (15, 15) error covariance [dθ, dv, dp, dbg, dba]
+
+
+class InsGps:
+    """Loosely-coupled 15-state error-state EKF — the production INS/GPS
+    architecture (attitude + velocity + position + gyro/accel biases in
+    ONE filter). Unlike the `Ahrs`+`Ins` cascade, GPS velocity residuals
+    observe ATTITUDE through the -C[f×] specific-force coupling in the
+    transition, so sustained maneuvers (where gravity-direction aiding is
+    blind or biased) keep the attitude estimate honest — the property the
+    closed-loop autopilot (`physics/navigation.py`) needs. Heading is
+    anchored by the magnetometer vector update against the configured NED
+    field (declination-aware, `sensors.mag_field_ned`).
+
+    Mechanization per epoch (dt): q+ = q ∘ exp((ω_m − b_g) dt),
+    a_n = C(q)(f_m − b_a) + g_n, trapezoidal v/p. First-order Phi with
+    exact dt² position couplings. Joseph-form updates; all methods pure,
+    vmappable, scan-friendly (no branches; intermittent measurements via
+    `masked_update`)."""
+
+    def __init__(self, dt, sigma_gyro=8.7e-4, rw_gyro=3.0e-5,
+                 sigma_accel=0.02, rw_accel=1.0e-3, sigma_mag=150.0e-9,
+                 B_n=(19.0e-6, 0.0, 45.0e-6), sigma_gps_pos=1.6,
+                 sigma_gps_vel=0.06, sigma_baro=1.5, g=9.80665):
+        self.dt = float(dt)
+        self.g_n = jnp.asarray([0.0, 0.0, g])
+        self.B_n = jnp.asarray(B_n)
+        dt_ = self.dt
+        # per-sample white sigmas enter as (sigma*dt)^2; per-sqrt(s)
+        # random-walk densities as rw^2*dt (see imu_params)
+        self.Q = jnp.diag(jnp.concatenate([
+            jnp.full(3, (sigma_gyro * dt_)**2),
+            jnp.full(3, (sigma_accel * dt_)**2),
+            jnp.full(3, 1e-8),
+            jnp.full(3, (rw_gyro**2) * dt_),
+            jnp.full(3, (rw_accel**2) * dt_)]))
+        self.R_pos = jnp.eye(3) * sigma_gps_pos**2
+        self.R_vel = jnp.eye(3) * sigma_gps_vel**2
+        self.R_baro = jnp.asarray([[sigma_baro**2]])
+        self.R_mag = jnp.eye(3) * sigma_mag**2
+
+    def init(self, q_nb=None, v_n=None, p_n=None, att_std=0.05,
+             vel_std=0.2, pos_std=3.0, bg_std=5e-3, ba_std=0.05):
+        z = jnp.zeros(3)
+        q0 = jnp.asarray([1.0, 0.0, 0.0, 0.0]) if q_nb is None else \
+            jnp.asarray(q_nb)
+        P0 = jnp.diag(jnp.concatenate([
+            jnp.full(3, att_std**2), jnp.full(3, vel_std**2),
+            jnp.full(3, pos_std**2), jnp.full(3, bg_std**2),
+            jnp.full(3, ba_std**2)]))
+        return InsGpsState(q_nb=q0, v_n=z if v_n is None else jnp.asarray(v_n),
+                           p_n=z if p_n is None else jnp.asarray(p_n),
+                           b_g=z, b_a=z, P=P0)
+
+    # ------------------------------------------------------------- predict
+
+    def predict(self, st: InsGpsState, omega_m, f_m) -> InsGpsState:
+        from flightjax.ops.attitude import quat_to_matrix
+        dt = self.dt
+        dtp = st.P.dtype
+        w = omega_m - st.b_g
+        f = f_m - st.b_a
+        q = qnormalize(qmul(st.q_nb, rvec_to_quat(w * dt)))
+        C = quat_to_matrix(st.q_nb)
+        a_n = C @ f + self.g_n.astype(dtp)
+        v = st.v_n + a_n * dt
+        p = st.p_n + st.v_n * dt + 0.5 * a_n * dt**2
+
+        I3 = jnp.eye(3, dtype=dtp)
+        Z3 = jnp.zeros((3, 3), dtp)
+        Cf = C @ skew(f)
+        Phi = jnp.block([
+            [I3 - skew(w) * dt, Z3, Z3, -I3 * dt, Z3],
+            [-Cf * dt, I3, Z3, Z3, -C * dt],
+            [-0.5 * Cf * dt**2, I3 * dt, I3, Z3, -0.5 * C * dt**2],
+            [Z3, Z3, Z3, I3, Z3],
+            [Z3, Z3, Z3, Z3, I3]])
+        P = Phi @ st.P @ Phi.T + self.Q.astype(dtp)
+        return InsGpsState(q_nb=q, v_n=v, p_n=p, b_g=st.b_g, b_a=st.b_a,
+                           P=P)
+
+    # -------------------------------------------------------------- updates
+
+    def _update(self, st: InsGpsState, H, y, R):
+        S = H @ st.P @ H.T + R.astype(st.P.dtype)
+        K = jnp.linalg.solve(S.T, (st.P @ H.T).T).T
+        dx = K @ y
+        IKH = jnp.eye(15, dtype=st.P.dtype) - K @ H
+        P = IKH @ st.P @ IKH.T + K @ R.astype(st.P.dtype) @ K.T
+        q = qnormalize(qmul(st.q_nb, rvec_to_quat(dx[0:3])))
+        return InsGpsState(q_nb=q, v_n=st.v_n + dx[3:6],
+                           p_n=st.p_n + dx[6:9], b_g=st.b_g + dx[9:12],
+                           b_a=st.b_a + dx[12:15], P=P)
+
+    @staticmethod
+    def _blockH(idx, dtype):
+        H = jnp.zeros((3, 15), dtype)
+        return jax.lax.dynamic_update_slice(
+            H, jnp.eye(3, dtype=dtype), (0, idx))
+
+    def update_gps(self, st: InsGpsState, p_meas, v_meas, valid=True):
+        dtp = st.P.dtype
+        upd = self._update(st, self._blockH(6, dtp), p_meas - st.p_n,
+                           self.R_pos)
+        upd = self._update(upd, self._blockH(3, dtp), v_meas - upd.v_n,
+                           self.R_vel)
+        return masked_update(jnp.asarray(valid), upd, st)
+
+    def update_baro(self, st: InsGpsState, h_meas, h_origin):
+        """Baro observes altitude above the filter origin = -p_d."""
+        H = jnp.zeros((1, 15), st.P.dtype).at[0, 8].set(-1.0)
+        y = jnp.atleast_1d(h_meas - h_origin + st.p_n[2])
+        return self._update(st, H, y, self.R_baro)
+
+    def update_mag(self, st: InsGpsState, mag_m):
+        """Heading anchor: body-frame observation of the known NED field
+        (same right-multiplicative H = [v_pred×] as `Ahrs`)."""
+        v_pred = qrot_inv(st.q_nb, self.B_n.astype(st.P.dtype))
+        H = jnp.concatenate(
+            [skew(v_pred), jnp.zeros((3, 12), st.P.dtype)], axis=1)
+        return self._update(st, H, mag_m - v_pred, self.R_mag)
+
+    def step(self, st: InsGpsState, omega_m, f_m, mag_m=None, gps_p=None,
+             gps_v=None, gps_new=False, h_baro=None, h_origin=0.0):
+        st = self.predict(st, omega_m, f_m)
+        if gps_p is not None:
+            st = self.update_gps(st, gps_p, gps_v, valid=gps_new)
+        if h_baro is not None:
+            st = self.update_baro(st, h_baro, h_origin)
+        if mag_m is not None:
+            st = self.update_mag(st, mag_m)
+        return st
+
+    def run(self, st: InsGpsState, omega_ms, f_ms, mag_ms=None, gps_ps=None,
+            gps_vs=None, gps_news=None, h_baros=None, h_origin=0.0):
+        """Scan a whole record (leading dim = epochs). Returns the final
+        state and (q_nb, v_n, p_n) histories."""
+        have_m = mag_ms is not None
+        have_g = gps_ps is not None
+        have_b = h_baros is not None
+        K = f_ms.shape[0]
+        z3 = jnp.zeros((K, 3), f_ms.dtype)
+        mag_ms = z3 if mag_ms is None else mag_ms
+        gps_ps = z3 if gps_ps is None else gps_ps
+        gps_vs = z3 if gps_vs is None else gps_vs
+        gps_news = jnp.zeros(K, bool) if gps_news is None else gps_news
+        h_baros = jnp.zeros((K,), f_ms.dtype) if h_baros is None else h_baros
+
+        def body(st, zz):
+            om, f, mg, gp, gv, gn, hb = zz
+            st = self.step(st, om, f, mg if have_m else None,
+                           gp if have_g else None,
+                           gv if have_g else None, gn,
+                           hb if have_b else None, h_origin)
+            return st, (st.q_nb, st.v_n, st.p_n)
+
+        return jax.lax.scan(body, st, (omega_ms, f_ms, mag_ms, gps_ps,
+                                       gps_vs, gps_news, h_baros))
 
 
 # ---------------------------------------------------------- fault detection

@@ -377,3 +377,165 @@ def test_inject_fault_modes():
                                   [0, 1, 0, 0, 0, 5, 6, 7, 8, 9])
     # untouched channels identical
     np.testing.assert_array_equal(np.asarray(do.CAS), np.asarray(zs.CAS))
+
+
+def test_ahrs_heading_with_declination():
+    """AHRS fed the true declination-rotated field recovers heading; an
+    AHRS that wrongly assumes zero declination converges to a heading
+    biased by ~D (the classic mis-set-variation error)."""
+    from flightjax.ops.attitude import quat_to_euler, wrap_to_pi
+    from flightjax.physics.sensors import mag_field_ned
+
+    dt, K = 0.02, 2000
+    D = np.deg2rad(10.0)
+    B_true = mag_field_ned(declination=D)
+    g_n = jnp.asarray([0.0, 0.0, -9.80665])
+    t = jnp.arange(K) * dt
+    omega = jnp.stack([0.05 * jnp.sin(2 * jnp.pi * 0.1 * t),
+                       0.05 * jnp.sin(2 * jnp.pi * 0.13 * t),
+                       jnp.zeros(K)], axis=-1)
+
+    def prop(q, om):
+        q = qnormalize(qmul(q, rvec_to_quat(om * dt)))
+        return q, q
+
+    q0 = euler_to_quat(jnp.asarray([0.7, 0.02, -0.03]))  # psi = 0.7 rad
+    _, qs = jax.lax.scan(prop, q0, omega)
+    key = jax.random.PRNGKey(11)
+    kg, ka, km = jax.random.split(key, 3)
+    gyro = omega + 8.7e-4 * jax.random.normal(kg, (K, 3))
+    acc = jax.vmap(lambda q: qrot_inv(q, g_n))(qs) \
+        + 0.02 * jax.random.normal(ka, (K, 3))
+    mag = jax.vmap(lambda q: qrot_inv(q, B_true))(qs) \
+        + 150e-9 * jax.random.normal(km, (K, 3))
+
+    # start 15 deg off in heading so the mag update does real work
+    q_init = qnormalize(qmul(qs[0], rvec_to_quat(jnp.asarray(
+        [0.0, 0.0, 0.26]))))
+
+    matched = Ahrs(dt=dt, B_n=B_true)
+    _, qh = matched.run(matched.init(q_nb=q_init), gyro, acc, mag)
+    psi_err = wrap_to_pi(quat_to_euler(qh[-1])[0] - quat_to_euler(qs[-1])[0])
+    assert abs(float(psi_err)) < np.deg2rad(0.5), float(psi_err)
+
+    mismatched = Ahrs(dt=dt)  # assumes zero declination
+    _, qm = mismatched.run(mismatched.init(q_nb=q_init), gyro, acc, mag)
+    psi_bias = wrap_to_pi(quat_to_euler(qm[-1])[0]
+                          - quat_to_euler(qs[-1])[0])
+    # converges to roughly -D (field rotated east reads as heading west)
+    assert abs(float(psi_bias) + D) < np.deg2rad(2.0), float(psi_bias)
+
+
+# ------------------------------------------------------- fused INS/GPS EKF
+
+def _coordinated_turn_truth(K, dt, V=45.0, psi_dot=np.deg2rad(3.0),
+                            phi0=np.deg2rad(15.0), g=9.80665):
+    """Kinematic coordinated-turn truth: constant bank, constant yaw
+    rate, level. Returns (qs, omega_bs, f_bs, v_ns, p_ns)."""
+    t = jnp.arange(K) * dt
+    psi = psi_dot * t
+    g_n = jnp.asarray([0.0, 0.0, g])
+
+    def one(psi_k):
+        q = euler_to_quat(jnp.stack([psi_k, 0.0 * psi_k,
+                                     jnp.asarray(phi0)]))
+        om = qrot_inv(q, jnp.asarray([0.0, 0.0, psi_dot]))
+        v_n = V * jnp.stack([jnp.cos(psi_k), jnp.sin(psi_k), 0.0 * psi_k])
+        a_n = V * psi_dot * jnp.stack([-jnp.sin(psi_k), jnp.cos(psi_k),
+                                       0.0 * psi_k])
+        f_b = qrot_inv(q, a_n - g_n)
+        return q, om, v_n, f_b
+
+    qs, oms, v_ns, f_bs = jax.vmap(one)(psi)
+    p_ns = (V / psi_dot) * jnp.stack(
+        [jnp.sin(psi), 1.0 - jnp.cos(psi), jnp.zeros_like(psi)], axis=-1)
+    return qs, oms, f_bs, v_ns, p_ns
+
+
+def test_insgps_holds_attitude_in_sustained_turn():
+    """THE design-motivating case (physics/navigation.py): in a sustained
+    coordinated turn, gravity-direction aiding is biased toward
+    wings-level; the fused error-state EKF must hold the banked attitude
+    through the GPS-velocity/specific-force coupling + mag heading."""
+    from flightjax.physics.sensors import mag_field_ned
+    from flightjax.utils.estimation import InsGps
+
+    dt, K = 0.02, 3000  # 60 s = half a standard-rate-ish orbit
+    phi0 = np.deg2rad(15.0)
+    qs, oms, f_bs, v_ns, p_ns = _coordinated_turn_truth(K, dt, phi0=phi0)
+    B_n = mag_field_ned()
+    key = jax.random.PRNGKey(7)
+    kg, ka, km, kp, kv = jax.random.split(key, 5)
+    gyro = oms + jnp.asarray([3e-3, -2e-3, 1e-3]) \
+        + 8.7e-4 * jax.random.normal(kg, (K, 3))
+    acc = f_bs + jnp.asarray([0.03, -0.02, 0.05]) \
+        + 0.02 * jax.random.normal(ka, (K, 3))
+    mag = jax.vmap(lambda q: qrot_inv(q, B_n))(qs) \
+        + 150e-9 * jax.random.normal(km, (K, 3))
+    gps_news = (jnp.arange(K) % 10) == 0
+    gps_ps = p_ns + 1.6 * jax.random.normal(kp, (K, 3))
+    gps_vs = v_ns + 0.06 * jax.random.normal(kv, (K, 3))
+
+    ekf = InsGps(dt=dt, B_n=B_n)
+    # start 5 deg off in roll AND pitch
+    q0 = qnormalize(qmul(qs[0], rvec_to_quat(jnp.asarray(
+        [0.087, 0.087, 0.0]))))
+    st, (q_hist, v_hist, p_hist) = ekf.run(
+        ekf.init(q_nb=q0, v_n=v_ns[0]), gyro, acc, mag, gps_ps, gps_vs,
+        gps_news)
+
+    err = attitude_error_deg(q_hist, qs)
+    # converged and HELD through the turn: last 30 s under 1 deg
+    assert float(jnp.mean(err[-1500:])) < 1.0, float(jnp.mean(err[-1500:]))
+    assert float(jnp.max(err[-1500:])) < 2.0, float(jnp.max(err[-1500:]))
+    # the bank is real in the estimate (not dragged to wings-level)
+    from flightjax.ops.attitude import quat_to_euler
+    phi_est = quat_to_euler(q_hist[-1])[2]
+    assert abs(float(phi_est) - phi0) < np.deg2rad(1.0)
+    # velocity/position track
+    assert float(jnp.linalg.norm(v_hist[-1] - v_ns[-1])) < 0.5
+    assert float(jnp.linalg.norm(p_hist[-1] - p_ns[-1])) < 5.0
+    # biases heading toward truth (loose: observability varies by axis)
+    assert float(jnp.linalg.norm(st.b_g - jnp.asarray(
+        [3e-3, -2e-3, 1e-3]))) < 2e-3
+    # covariance symmetric PD in the long run
+    P = np.asarray(st.P)
+    np.testing.assert_allclose(P, P.T, rtol=1e-7)
+    assert np.all(np.linalg.eigvalsh(P) > 0)
+
+
+def test_insgps_static_identifies_biases():
+    """Stationary, level: GPS at 1 Hz + mag; gyro and accel biases must
+    be identified and position held."""
+    from flightjax.physics.sensors import mag_field_ned
+    from flightjax.utils.estimation import InsGps
+
+    dt, K = 0.02, 3000
+    g = 9.80665
+    B_n = mag_field_ned()
+    bg = jnp.asarray([4e-3, -2e-3, 3e-3])
+    ba = jnp.asarray([0.05, -0.03, 0.08])
+    key = jax.random.PRNGKey(9)
+    kg, ka, km, kp, kv = jax.random.split(key, 5)
+    gyro = bg + 8.7e-4 * jax.random.normal(kg, (K, 3))
+    acc = jnp.asarray([0.0, 0.0, -g]) + ba \
+        + 0.02 * jax.random.normal(ka, (K, 3))
+    mag = jnp.broadcast_to(B_n, (K, 3)) \
+        + 150e-9 * jax.random.normal(km, (K, 3))
+    gps_news = (jnp.arange(K) % 50) == 0
+    gps_ps = 1.6 * jax.random.normal(kp, (K, 3))
+    gps_vs = 0.06 * jax.random.normal(kv, (K, 3))
+
+    ekf = InsGps(dt=dt, B_n=B_n)
+    st, (q_hist, v_hist, p_hist) = ekf.run(
+        ekf.init(), gyro, acc, mag, gps_ps, gps_vs, gps_news)
+    assert float(jnp.linalg.norm(st.p_n)) < 3.0
+    assert float(jnp.linalg.norm(st.v_n)) < 0.3
+    np.testing.assert_allclose(np.asarray(st.b_g), np.asarray(bg),
+                               atol=1.5e-3)
+    # z accel bias is directly observable via baro-free GPS altitude;
+    # x/y couple through attitude — allow a looser band
+    np.testing.assert_allclose(np.asarray(st.b_a), np.asarray(ba),
+                               atol=0.03)
+    err = attitude_error_deg(q_hist[-1], jnp.asarray([1.0, 0, 0, 0]))
+    assert float(err) < 1.0

@@ -97,6 +97,26 @@ def test_sharded_loads_matches_vmap(c172_world_state):
 
 
 @pytest.mark.fast
+def test_fast_sharded_loads_smoke(c172_world_state):
+    """Fast-tier 2-virtual-device smoke of the shipped `sharded_loads_fn`
+    path (VERDICT r3 #5): compiles, executes, peaks finite and fractions
+    consistent with the sharded peaks."""
+    sim, state = c172_world_state
+    B = 4
+    st = fleet.broadcast_state(state, B)
+    mesh, st_sh = fleet.shard_fleet(st, devices=jax.devices()[:2])
+    th = [0.5, 1.5]
+    roll = fleet.sharded_loads_fn(sim, mesh, n_steps=10, thresholds=th,
+                                  sample_every=5)
+    st2, peaks, frac = roll(st_sh)
+    peaks = np.asarray(peaks)
+    assert peaks.shape == (B,) and np.all(np.isfinite(peaks))
+    np.testing.assert_allclose(np.asarray(frac),
+                               np.asarray(fleet.exceedance(peaks, th)),
+                               atol=1e-12)
+
+
+@pytest.mark.fast
 def test_exceedance_fractions():
     peaks = jnp.asarray([0.5, 1.1, 1.5, 2.4])
     frac = np.asarray(fleet.exceedance(peaks, [1.0, 2.0, 3.0]))

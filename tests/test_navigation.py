@@ -1,0 +1,232 @@
+"""Closed-loop navigation avionics tests: the C172X control laws flying
+on ESTIMATED states (truth -> SensorSuite -> Ahrs/Ins -> ControlLaws),
+the VERDICT-r3 #1 'close the sensor->control loop' capability.
+
+No reference counterpart: Flight.jl's avionics consume true KinData
+(`aircraftbase.jl:201-210`). The acceptance bands mirror the truth-fed
+autopilot suite (`tests/test_c172x1.py`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flightjax.core.sim import Simulation
+from flightjax.models.c172 import c172x, common as C172
+from flightjax.models.c172 import c172x_ctl as CTL
+from flightjax.physics.aircraftbase import SimpleWorld
+
+pytestmark = pytest.mark.fast
+
+DT = 0.02
+
+
+def _engage_turning_climb(state, EAS_ref=45.0, clm_ref=1.5,
+                          chi_ref=np.pi / 2):
+    av = dict(state.u["avionics"])
+    inner = {"lon": dict(av["inner"]["lon"]), "lat": dict(av["inner"]["lat"])}
+    inner["lon"]["mode_req"] = jnp.asarray(CTL.LON_EAS_CLM, jnp.int32)
+    inner["lon"]["EAS_ref"] = jnp.asarray(float(EAS_ref))
+    inner["lon"]["clm_ref"] = jnp.asarray(float(clm_ref))
+    inner["lat"]["mode_req"] = jnp.asarray(CTL.LAT_CHI_BETA, jnp.int32)
+    inner["lat"]["chi_ref"] = jnp.asarray(float(chi_ref))
+    av["inner"] = inner
+    return state._replace(u=dict(state.u, avionics=av))
+
+
+@pytest.fixture(scope="module")
+def nav_rig():
+    aircraft = c172x.build_xv1_nav("wa", periodic_dt=DT)
+    world = SimpleWorld(aircraft)
+    sim = Simulation(world, dt=DT, periodic_dt=DT)
+    state, _, rnorm = c172x.trim_world(aircraft, C172.trim_parameters(),
+                                       periodic_dt=DT)
+    assert float(rnorm) < 1e-10
+    return sim, state, aircraft
+
+
+def test_estimate_airspeed_exact_inverse():
+    """With a zero-noise suite the pressure-derived TAS/EAS reproduce the
+    truth chain (`atmosphere.air_data`) bit-for-bit-ish."""
+    from flightjax.models.c172 import c172s
+    from flightjax.physics.navigation import estimate_airspeed
+    from flightjax.physics.sensors import SensorSuite, exact_suite_params
+
+    vehicle = c172s.build_vehicle("wa")
+    x, u, s, _, _ = c172s.trim(vehicle, C172.trim_parameters())
+    _, y = vehicle.f_ode(x, u, s, 0.0)
+    suite = SensorSuite(dt=DT)
+    su = {"seed": jnp.asarray(0, jnp.int32), "params": exact_suite_params()}
+    z = suite.measure(su, suite.init_s(), y.kinematics, y.airflow,
+                      y.dynamics)
+    TAS, EAS = estimate_airspeed(z)
+    np.testing.assert_allclose(float(TAS), float(y.airflow.TAS), rtol=1e-12)
+    np.testing.assert_allclose(float(EAS), float(y.airflow.EAS), rtol=1e-12)
+
+
+def test_sensor_fed_turning_climb_holds_bands(nav_rig):
+    """40 s EAS+climb+course capture flown entirely on estimated states:
+    the truth-fed acceptance bands (test_c172x1) hold on the TRUE
+    trajectory, and the estimator tracked truth throughout."""
+    sim, state0, aircraft = nav_rig
+    state = _engage_turning_climb(state0)
+    final, log = sim.run(state, t_end=40.0, save_every=10)
+
+    kin = log.y.vehicle.kinematics
+    nav = log.y.avionics["nav"]
+    EAS = np.asarray(log.y.vehicle.airflow.EAS)
+    clm = -np.asarray(kin.v_eb_n)[:, 2]
+    chi = np.asarray(kin.chi_gnd)
+
+    # tracking of the TRUE quantities (same bands as the truth-fed suite)
+    assert abs(EAS[-1] - 45.0) < 0.3, EAS[-1]
+    assert abs(clm[-1] - 1.5) < 0.15, clm[-1]
+    assert abs(chi[-1] - np.pi / 2) < 1e-2, chi[-1]
+
+    # the estimator stayed honest: attitude within 2 deg through the
+    # engagement transient (bias observability builds with the maneuver)
+    # and under 0.3 deg once settled; altitude within a few metres; no
+    # false FDI alarms on a healthy run
+    q_t, q_e = np.asarray(kin.q_nb), np.asarray(nav["q_nb"])
+    att_err = np.degrees(2 * np.arccos(np.clip(
+        np.abs(np.sum(q_t * q_e, axis=-1)), 0.0, 1.0)))
+    assert att_err.max() < 2.0, att_err.max()
+    assert att_err[-50:].max() < 0.3, att_err[-50:].max()
+    h_err = np.abs(np.asarray(nav["h_est"]) - np.asarray(kin.h_e))
+    assert h_err.max() < 5.0, h_err.max()
+    assert not np.asarray(nav["gps_alarm"]).any()
+    assert not np.asarray(nav["baro_alarm"]).any()
+
+
+def test_shadow_mode_matches_truth_fed_exactly(nav_rig):
+    """use_estimates=False: filters run in shadow but the inner laws see
+    truth — the vehicle trajectory must be bit-identical to the plain
+    truth-fed C172Xv1 (regression anchor for the estimated-Y plumbing)."""
+    aircraft_sh = c172x.build_xv1_nav("wa", periodic_dt=DT,
+                                      use_estimates=False)
+    world_sh = SimpleWorld(aircraft_sh)
+    sim_sh = Simulation(world_sh, dt=DT, periodic_dt=DT)
+    st_sh, _, _ = c172x.trim_world(aircraft_sh, C172.trim_parameters(),
+                                   periodic_dt=DT)
+
+    aircraft_tr = c172x.build_xv1("wa")
+    world_tr = SimpleWorld(aircraft_tr)
+    sim_tr = Simulation(world_tr, dt=DT, periodic_dt=DT)
+    st_tr, _, _ = c172x.trim_world(aircraft_tr, C172.trim_parameters(),
+                                   periodic_dt=DT)
+
+    def engage(state):
+        av = dict(state.u["avionics"])
+        tgt = av["inner"] if "inner" in av else av
+        lon = dict(tgt["lon"], mode_req=jnp.asarray(CTL.LON_EAS_CLM,
+                                                    jnp.int32),
+                   EAS_ref=jnp.asarray(45.0), clm_ref=jnp.asarray(1.5))
+        lat = dict(tgt["lat"], mode_req=jnp.asarray(CTL.LAT_PHI_BETA,
+                                                    jnp.int32),
+                   phi_ref=jnp.asarray(np.pi / 12))
+        new = dict(tgt, lon=lon, lat=lat)
+        if "inner" in av:
+            av = dict(av, inner=new)
+        else:
+            av = new
+        return state._replace(u=dict(state.u, avionics=av))
+
+    f_sh, _ = sim_sh.run(engage(st_sh), t_end=10.0, save_y=False)
+    f_tr, _ = sim_tr.run(engage(st_tr), t_end=10.0, save_y=False)
+    a = f_sh.x["vehicle"]["kinematics"]
+    b = f_tr.x["vehicle"]["kinematics"]
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   atol=1e-12, err_msg=k)
+
+
+def test_nav_loop_vmaps_over_fleet(nav_rig):
+    """Per-lane sensor seeds: the closed loop vmaps; lanes diverge only
+    by sensor noise (metres/centi-m/s scale over 5 s)."""
+    from flightjax.parallel import fleet
+
+    sim, state0, _ = nav_rig
+    state = _engage_turning_climb(state0)
+    B = 4
+    st = fleet.broadcast_state(state, B)
+    av_u = dict(st.u["avionics"])
+    sens = dict(av_u["sens"], seed=jnp.arange(B, dtype=jnp.int32))
+    st = st._replace(u=dict(st.u, avionics=dict(av_u, sens=sens)))
+
+    st = fleet.fleet_rollout(sim, st, n_steps=250)
+    h = np.asarray(st.x["vehicle"]["kinematics"]["h_e"])
+    assert np.isfinite(h).all()
+    assert h.std() > 0.0          # lanes actually saw different noise
+    assert h.std() < 5.0          # but stayed together
+    for leaf in jax.tree.leaves(st.s["avionics"]["nav"]):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_gps_freeze_alarm_and_coast(nav_rig):
+    """In-loop FDI mission (single lane): freeze the GPS mid-flight —
+    the innovation monitor must latch, updates must stop (coast), and
+    the altitude estimate must stay usable on IMU+baro."""
+    sim, state0, _ = nav_rig
+    from flightjax.physics import navigation as NAV
+
+    state = _engage_turning_climb(state0)
+    av_u = dict(state.u["avionics"])
+    fault = dict(NAV.no_fault(),
+                 channel=jnp.asarray(NAV.FAULT_GPS, jnp.int32),
+                 mode=jnp.asarray(NAV.MODE_FREEZE, jnp.int32),
+                 k0=jnp.asarray(750, jnp.int32))  # 15 s in
+    state = state._replace(u=dict(state.u,
+                                  avionics=dict(av_u, fault=fault)))
+    final, log = sim.run(state, t_end=40.0, save_every=5)
+    nav = log.y.avionics["nav"]
+    alarms = np.asarray(nav["gps_alarm"])
+    t = np.asarray(log.t)
+    # no alarm before the fault epoch, latched alarm well after
+    assert not alarms[t < 15.0].any()
+    assert alarms[-1]
+    # coasting: altitude estimate still within 15 m on IMU+baro
+    h_err = np.abs(np.asarray(nav["h_est"]) - np.asarray(
+        log.y.vehicle.kinematics.h_e))
+    assert h_err.max() < 15.0, h_err.max()
+    # and the aircraft kept flying sanely (EAS within 2 m/s of ref)
+    EAS = np.asarray(log.y.vehicle.airflow.EAS)
+    assert abs(EAS[-1] - 45.0) < 2.0
+
+
+def test_fleet_fdi_mission_on_virtual_mesh(nav_rig):
+    """VERDICT r3 #3 'done' criterion: a Monte Carlo fleet on the virtual
+    device mesh where GPS-faulted lanes latch the alarm and healthy lanes
+    don't — the in-loop FDI mission at fleet scale through the shipped
+    shard_map path."""
+    from flightjax.parallel import fleet
+    from flightjax.physics import navigation as NAV
+
+    sim, state0, _ = nav_rig
+    state = _engage_turning_climb(state0)
+    B = 8
+    st = fleet.broadcast_state(state, B)
+    av_u = dict(st.u["avionics"])
+    av_u["sens"] = dict(av_u["sens"], seed=jnp.arange(B, dtype=jnp.int32))
+    # lanes 0..3 healthy (k0 = never), lanes 4..7 GPS-frozen at 10 s
+    faulted = jnp.arange(B) >= 4
+    k0 = jnp.where(faulted, 500, NAV._NEVER).astype(jnp.int32)
+    av_u["fault"] = dict(NAV.no_fault(),
+                         channel=jnp.full(B, NAV.FAULT_GPS, jnp.int32),
+                         mode=jnp.full(B, NAV.MODE_FREEZE, jnp.int32),
+                         k0=k0, k1=jnp.full(B, NAV._NEVER, jnp.int32),
+                         delta=jnp.zeros(B))
+    st = st._replace(u=dict(st.u, avionics=av_u))
+
+    n_dev = 4
+    mesh, st_sh = fleet.shard_fleet(st, devices=jax.devices()[:n_dev])
+    roll = fleet.sharded_rollout_fn(sim, mesh, n_steps=1000)  # 20 s
+    out, t_mean = roll(st_sh)
+    np.testing.assert_allclose(float(t_mean), 20.0, atol=1e-9)
+
+    alarms = np.asarray(out.s["avionics"]["mon_gps"]["alarm"])
+    np.testing.assert_array_equal(alarms, np.asarray(faulted))
+    # healthy lanes still hold the climb; faulted lanes coast but stay
+    # airborne and finite
+    h = np.asarray(out.x["vehicle"]["kinematics"]["h_e"])
+    assert np.isfinite(h).all()
+    assert not np.asarray(out.s["terminated"]).any()

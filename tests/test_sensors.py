@@ -315,3 +315,45 @@ def test_c172_flight_sensors_feed_ahrs():
     # filter must hold attitude within 2 deg throughout
     assert float(jnp.max(err)) < 2.0, float(jnp.max(err))
     assert float(err[-1]) < 1.0
+
+
+def test_mag_field_ned_declination():
+    """mag_field_ned reproduces the default field at D=0 and rotates the
+    horizontal component east by D."""
+    from flightjax.physics.sensors import mag_field_ned
+    B0 = np.asarray(mag_field_ned())
+    np.testing.assert_allclose(B0, [19.0e-6, 0.0, 45.0e-6], rtol=1e-12)
+    D = np.deg2rad(12.0)
+    B = np.asarray(mag_field_ned(declination=D))
+    # total intensity and inclination preserved, horizontal rotated by D
+    np.testing.assert_allclose(np.linalg.norm(B), np.linalg.norm(B0),
+                               rtol=1e-12)
+    np.testing.assert_allclose(B[2], B0[2], rtol=1e-12)
+    np.testing.assert_allclose(np.arctan2(B[1], B[0]), D, rtol=1e-12)
+
+
+def test_inject_fault_freeze_per_lane_k0():
+    """ADVICE r3: 'freeze' must gather each lane's OWN frozen epoch when
+    k0 is a per-lane array over trailing (lane) axes."""
+    from flightjax.physics.sensors import SensorData, inject_fault
+    K, L = 8, 3
+    base = (jnp.arange(K, dtype=jnp.float64)[:, None]
+            + 100.0 * jnp.arange(L, dtype=jnp.float64)[None, :])  # (K, L)
+    z3 = jnp.zeros((K, 3))
+    zb = jnp.zeros(K, bool)
+    zs = SensorData(omega_b=z3, f_b=base, p_s=base[:, 0], p_t=base[:, 0],
+                    T_oat=base[:, 0], CAS=base[:, 0], h_baro=base[:, 0],
+                    mag_b=z3, gps_lat=base[:, 0], gps_lon=base[:, 0],
+                    gps_h=base[:, 0], gps_v_n=z3, gps_new=zb,
+                    h_radar=base[:, 0], radar_valid=jnp.ones(K, bool))
+    k0 = jnp.asarray([2, 5, 7])
+    out = np.asarray(inject_fault(zs, "f_b", "freeze", k0).f_b)
+    for lane, kk in enumerate([2, 5, 7]):
+        expect = np.asarray(base[:, lane]).copy()
+        expect[kk:] = expect[kk]
+        np.testing.assert_array_equal(out[:, lane], expect)
+    # scalar k0 unchanged semantics
+    out_s = np.asarray(inject_fault(zs, "f_b", "freeze", 4).f_b)
+    expect = np.asarray(base).copy()
+    expect[4:] = expect[4]
+    np.testing.assert_array_equal(out_s, expect)

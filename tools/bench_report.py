@@ -209,6 +209,91 @@ def bench_cruise_fleet_large(batch=16384, steps_per_call=4000):
             "vehicle_steps_per_s": int(sps)}
 
 
+def _autopilot_fleet_state(sensor_fed, batch, dt=0.02):
+    """Trimmed C172Xv1 turning-climb fleet (EAS 45 + 1.5 m/s climb +
+    course capture engaged), truth-fed or flying on estimated states
+    (physics/navigation.NavAvionics)."""
+    import jax.numpy as jnp
+
+    from flightjax.core.sim import Simulation
+    from flightjax.models.c172 import c172x, common as C172
+    from flightjax.models.c172 import c172x_ctl as CTL
+    from flightjax.parallel import fleet
+    from flightjax.physics.aircraftbase import SimpleWorld
+
+    if sensor_fed:
+        aircraft = c172x.build_xv1_nav("wa", periodic_dt=dt)
+    else:
+        aircraft = c172x.build_xv1("wa")
+    world = SimpleWorld(aircraft)
+    sim = Simulation(world, dt=dt, periodic_dt=dt, geoid_every=128,
+                     gear_gate_margin=10.0)
+    state, _, _ = c172x.trim_world(aircraft, C172.trim_parameters(),
+                                   periodic_dt=dt)
+    av = dict(state.u["avionics"])
+    tgt = dict(av["inner"]) if "inner" in av else av
+    lon = dict(tgt["lon"], mode_req=jnp.asarray(CTL.LON_EAS_CLM, jnp.int32),
+               EAS_ref=jnp.asarray(45.0), clm_ref=jnp.asarray(1.5))
+    lat = dict(tgt["lat"], mode_req=jnp.asarray(CTL.LAT_CHI_BETA, jnp.int32),
+               chi_ref=jnp.asarray(jnp.pi / 2))
+    if "inner" in av:
+        av["inner"] = dict(tgt, lon=lon, lat=lat)
+    else:
+        av = dict(av, lon=lon, lat=lat)
+    state = state._replace(u=dict(state.u, avionics=av))
+    st = fleet.broadcast_state(state, batch)
+    if sensor_fed:
+        av_u = dict(st.u["avionics"])
+        av_u["sens"] = dict(av_u["sens"],
+                            seed=jnp.arange(batch, dtype=jnp.int32))
+        st = st._replace(u=dict(st.u, avionics=av_u))
+    return sim, st
+
+
+def _bench_autopilot(sensor_fed, batch=4096, t_end=600.0):
+    """BASELINE row 3 measured AT FLEET SCALE ON THE CHIP: the 600 s
+    turning climb with the discrete gain-scheduled cascade firing every
+    step — truth-fed, and (round 4) flying entirely on estimated states
+    through the in-loop SensorSuite -> InsGps stage."""
+    import jax.numpy as jnp
+
+    from flightjax.parallel import fleet
+
+    sim, st = _autopilot_fleet_state(sensor_fed, batch)
+    n_steps = int(round(t_end / sim.dt))
+
+    def run(s):
+        return fleet.fleet_rollout(sim, s, n_steps, unroll=4)
+
+    cold, warm, final = timed(run, st, reps=1)
+    # certify the cascade actually flew the mission: every lane airborne,
+    # on-speed and climbing at the references
+    y = jax.vmap(lambda s: sim.output(s, ()))(final)
+    EAS = jnp.asarray(y.vehicle.airflow.EAS)
+    clm = -jnp.asarray(y.vehicle.kinematics.v_eb_n)[:, 2]
+    assert bool(jnp.isfinite(EAS).all())
+    assert abs(float(EAS.mean()) - 45.0) < 1.0, float(EAS.mean())
+    assert abs(float(clm.mean()) - 1.5) < 0.3, float(clm.mean())
+    steps = batch * n_steps
+    name = "sensor_fed_nav" if sensor_fed else "truth_fed"
+    return {"config": f"autopilot_fleet_{name}_{batch}x{int(t_end)}s",
+            "device": jax.devices()[0].device_kind,
+            "steps": steps, "compile_s": round(cold - warm, 2),
+            "wall_s": round(warm, 2),
+            "vehicle_steps_per_s": int(steps / warm),
+            "fleet_sim_time_per_wall": round(t_end / warm, 1),
+            "final_EAS_mean": round(float(EAS.mean()), 2),
+            "final_climb_mean": round(float(clm.mean()), 2)}
+
+
+def bench_autopilot_fleet_truth():
+    return _bench_autopilot(sensor_fed=False)
+
+
+def bench_autopilot_fleet_sensor():
+    return _bench_autopilot(sensor_fed=True)
+
+
 F32_ENVELOPE = """
 ## f32 accuracy envelope carried by the fleet numbers
 
@@ -248,7 +333,8 @@ def main():
     rows = []
     for fn in (bench_robot2d, bench_c172s_elevator, bench_turning_climb,
                bench_trim_linearize, bench_monte_carlo_fleet,
-               bench_cruise_fleet_large):
+               bench_cruise_fleet_large, bench_autopilot_fleet_truth,
+               bench_autopilot_fleet_sensor):
         if fn.__name__ in cache:
             rows.append(cache[fn.__name__])
             print(json.dumps(cache[fn.__name__]), "(cached)")

@@ -46,18 +46,47 @@ from flightjax.core.sim import Simulation, SimState
 from flightjax.models.c172 import c172s, common as C172
 
 tp = C172.trim_parameters()
-ts = C172.TrimState(*[jnp.asarray(v) for v in {ts_vals!r}])
-world = c172s.flagship_world('wa')
-sim = Simulation(world, dt=0.02, compensate={comp})
-x, u, s = c172s.trim_assign(world.aircraft.vehicle, tp, ts)
-if {scenario!r} == 'step':
-    act = dict(u['systems']['act'])
-    act['elevator'] = act['elevator'] + 0.1
-    u = dict(u, systems=dict(u['systems'], act=act))
-state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
-                 x={{'vehicle': x}}, u={{'vehicle': u}},
-                 s={{'vehicle': s, 'terminated': jnp.asarray(False)}})
-state = sim.with_compensation(state)
+if {scenario!r} in ('autopilot', 'autopilot_nav'):
+    # closed-loop C172X turning climb (truth-fed v1, or flying on
+    # ESTIMATED states via physics/navigation.NavAvionics): each leg
+    # trims itself — the autopilot regulates away the sub-ulp trim
+    # differences within seconds, so the 600 s comparison measures the
+    # closed-loop f32 envelope, not trim scatter
+    from flightjax.models.c172 import c172x
+    from flightjax.models.c172 import c172x_ctl as CTL
+    from flightjax.physics.aircraftbase import SimpleWorld
+    if {scenario!r} == 'autopilot_nav':
+        aircraft = c172x.build_xv1_nav('wa', periodic_dt=0.02)
+    else:
+        aircraft = c172x.build_xv1('wa')
+    world = SimpleWorld(aircraft)
+    sim = Simulation(world, dt=0.02, periodic_dt=0.02, compensate={comp})
+    state, _, _ = c172x.trim_world(aircraft, tp, periodic_dt=0.02)
+    av = dict(state.u['avionics'])
+    tgt = dict(av['inner']) if 'inner' in av else av
+    lon = dict(tgt['lon'], mode_req=jnp.asarray(CTL.LON_EAS_CLM, jnp.int32),
+               EAS_ref=jnp.asarray(45.0), clm_ref=jnp.asarray(1.5))
+    lat = dict(tgt['lat'], mode_req=jnp.asarray(CTL.LAT_CHI_BETA, jnp.int32),
+               chi_ref=jnp.asarray(jnp.pi / 2))
+    if 'inner' in av:
+        av['inner'] = dict(tgt, lon=lon, lat=lat)
+    else:
+        av = dict(av, lon=lon, lat=lat)
+    state = state._replace(u=dict(state.u, avionics=av))
+    state = sim.with_compensation(state)
+else:
+    ts = C172.TrimState(*[jnp.asarray(v) for v in {ts_vals!r}])
+    world = c172s.flagship_world('wa')
+    sim = Simulation(world, dt=0.02, compensate={comp})
+    x, u, s = c172s.trim_assign(world.aircraft.vehicle, tp, ts)
+    if {scenario!r} == 'step':
+        act = dict(u['systems']['act'])
+        act['elevator'] = act['elevator'] + 0.1
+        u = dict(u, systems=dict(u['systems'], act=act))
+    state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
+                     x={{'vehicle': x}}, u={{'vehicle': u}},
+                     s={{'vehicle': s, 'terminated': jnp.asarray(False)}})
+    state = sim.with_compensation(state)
 final, _ = sim.run(state, t_end={t_end}, save_y=False)
 _, y = world.aircraft.vehicle.f_ode(final.x['vehicle'], final.u['vehicle'],
                                     final.s['vehicle'], {t_end})
