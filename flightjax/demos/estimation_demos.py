@@ -27,7 +27,9 @@ from flightjax.utils.estimation import Ahrs, attitude_error_deg
 
 def _truth_trajectory(t_end=30.0, dt=0.02):
     """Trimmed C172S flight with a small elevator doublet: (kin, air,
-    dyn) stacks plus the Simulation for reuse."""
+    dyn) stacks plus the terrain elevation under the track (the radar
+    altimeter's ground reference — plumbed to `measure_trajectory` so
+    AGL readings are terrain-referenced, not sea-level-referenced)."""
     from flightjax.core.sim import Simulation, SimState
     from flightjax.models.c172 import c172s, common as C172
 
@@ -40,18 +42,20 @@ def _truth_trajectory(t_end=30.0, dt=0.02):
                      s={"vehicle": s, "terminated": jnp.asarray(False)})
     _, log = sim.run(state, t_end=t_end, save_y=True)
     y = log.y.vehicle
-    return log.t, y.kinematics, y.airflow, y.dynamics
+    h_trn = vehicle.terrain.terrain_data(u["trn"],
+                                         y.kinematics.n_e).elevation
+    return log.t, y.kinematics, y.airflow, y.dynamics, h_trn
 
 
 def navigation_demo(t_end=30.0, dt=0.02, seed=0):
     """One lane: fly, sense, filter. Returns a dict with the truth and
     estimated attitude histories and summary errors [deg]."""
-    t, kins, airs, dyns = _truth_trajectory(t_end, dt)
+    t, kins, airs, dyns, h_trn = _truth_trajectory(t_end, dt)
 
     suite = SensorSuite(dt=dt)
     u = {"seed": jnp.asarray(seed, jnp.int32), "params": suite.init_u()["params"]}
     s0 = suite.init_s(u, init_key=jax.random.PRNGKey(seed))
-    zs, _ = measure_trajectory(suite, u, s0, kins, airs, dyns)
+    zs, _ = measure_trajectory(suite, u, s0, kins, airs, dyns, h_trn=h_trn)
 
     ahrs = Ahrs(dt=dt)
     st0 = ahrs.init(q_nb=kins.q_nb[0])
@@ -71,7 +75,7 @@ def fleet_navigation_study(n_lanes=64, t_end=30.0, dt=0.02,
     per-lane final/max attitude errors and the fraction inside the error
     budget. For the joint trajectory x sensor-grade study, see
     `joint_navigation_study`."""
-    _, kins, airs, dyns = _truth_trajectory(t_end, dt)
+    _, kins, airs, dyns, h_trn = _truth_trajectory(t_end, dt)
     suite = SensorSuite(dt=dt)
     params = suite.init_u()["params"]
     ahrs = Ahrs(dt=dt)
@@ -81,7 +85,8 @@ def fleet_navigation_study(n_lanes=64, t_end=30.0, dt=0.02,
         u = {"seed": seed, "params": params}
         s0 = suite.init_s(
             u, init_key=jax.random.fold_in(jax.random.PRNGKey(0xA77), seed))
-        zs, _ = measure_trajectory(suite, u, s0, kins, airs, dyns)
+        zs, _ = measure_trajectory(suite, u, s0, kins, airs, dyns,
+                                   h_trn=h_trn)
         st, q_hist = ahrs.run(ahrs.init(q_nb=q0), zs.omega_b, zs.f_b,
                               zs.mag_b)
         err = attitude_error_deg(q_hist, kins.q_nb)

@@ -191,6 +191,7 @@ class NavAvionics:
                 "nav": self.filter.init(),
                 "hold": {"gps_p": jnp.zeros(3), "gps_v": jnp.zeros(3),
                          "h_baro": jnp.asarray(0.0)},
+                "nis": {"gps": jnp.asarray(0.0), "baro": jnp.asarray(0.0)},
                 "mon_gps": self._mon_init(), "mon_baro": self._bmon_init()}
 
     def assign(self, u_systems, av_y):
@@ -205,6 +206,8 @@ class NavAvionics:
                 "nav": {"q_nb": st.q_nb, "b_g": st.b_g,
                         "p_n": st.p_n, "v_n": st.v_n, "b_a": st.b_a,
                         "h_est": u["origin"]["h0"] - st.p_n[2],
+                        "nis_gps": s["nis"]["gps"],
+                        "nis_baro": s["nis"]["baro"],
                         "gps_alarm": s["mon_gps"]["alarm"],
                         "baro_alarm": s["mon_baro"]["alarm"]}}
 
@@ -264,7 +267,7 @@ class NavAvionics:
         # monitored GPS / baro updates (reject-and-coast FDI) + mag heading
         st = self.filter.predict(s["nav"], z.omega_b, z.f_b)
         y_gps = p_gps - st.p_n
-        S_gps = st.P[6:9, 6:9] + self.filter.R_pos.astype(st.P.dtype)
+        S_gps = st.P[6:9, 6:9] + self.filter.R_pos_eff(st.P.dtype)
         nis_gps = nis(y_gps, S_gps)
         mon_gps, gps_alarm = self._mon_update(s["mon_gps"], nis_gps,
                                               valid=gps_new)
@@ -311,7 +314,10 @@ class NavAvionics:
                      nis_gps=nis_gps, nis_baro=nis_baro,
                      gps_alarm=gps_alarm, baro_alarm=baro_alarm, z=z)
         s_new = {"inner": s_in, "sens": s_sens, "nav": st,
-                 "hold": hold, "mon_gps": mon_gps, "mon_baro": mon_baro}
+                 "hold": hold,
+                 "nis": {"gps": jnp.where(gps_new, nis_gps, s["nis"]["gps"]),
+                         "baro": nis_baro},
+                 "mon_gps": mon_gps, "mon_baro": mon_baro}
         return s_new, {"inner": y_in, "nav": nav_y}
 
     # ----------------------------------------------------------------- init

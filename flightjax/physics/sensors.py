@@ -287,7 +287,13 @@ class SensorSuite(Component):
         the two are uncorrelated at the same epoch."""
         key = jax.random.fold_in(jax.random.fold_in(
             jax.random.fold_in(jax.random.PRNGKey(_KEY_BASE), seed), n), tag)
-        return jax.random.normal(key, (count,), dtype=dtype)
+        # the stream is DEFINED in f32 and cast up: an f64 (validation)
+        # run and an f32 (fleet fast path) run of the same (seed, n, tag)
+        # then see bit-identical noise, so cross-precision comparisons
+        # measure arithmetic drift, not realization scatter
+        # (tests/test_drift.py::test_f32_envelope_600s_autopilot_nav)
+        return jax.random.normal(key, (count,), dtype=jnp.float32).astype(
+            dtype)
 
     def f_step(self, x, u, s, t, *ctx):
         """Advance bias random walks + GPS Gauss-Markov error (exact

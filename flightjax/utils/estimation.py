@@ -140,7 +140,8 @@ class Ahrs:
         # accelerometer noise floor — weight it accordingly (sigma_grav),
         # with the sensor noise as the lower bound
         self.R_acc = jnp.eye(3) * (sigma_grav**2 + sigma_accel**2)
-        self.R_mag = jnp.eye(3) * sigma_mag**2
+        B_mag = float(jnp.linalg.norm(jnp.asarray(B_n)))
+        self.R_mag_dir = jnp.eye(3) * max(sigma_mag / B_mag, 1e-3)**2
 
     def init(self, q_nb=None, att_std=0.3, bias_std=0.01):
         q0 = jnp.asarray([1.0, 0.0, 0.0, 0.0]) if q_nb is None else \
@@ -153,6 +154,10 @@ class Ahrs:
 
     def predict(self, st: AhrsState, omega_m) -> AhrsState:
         """Propagate one IMU epoch with measured body rates `omega_m`."""
+        with jax.default_matmul_precision("highest"):
+            return self._predict(st, omega_m)
+
+    def _predict(self, st: AhrsState, omega_m) -> AhrsState:
         w = omega_m - st.b_g
         q = qnormalize(qmul(st.q_nb, rvec_to_quat(w * self.dt)))
         # Phi = I + F dt, F = [[-[w x], -I], [0, 0]]
@@ -167,7 +172,12 @@ class Ahrs:
     def _vector_update(self, st: AhrsState, v_b_meas, v_n_ref, R):
         """Update from a body-frame observation of a known NED vector.
         Measurement model: v_b = C(q_nb)ᵀ v_n + v; for the error state,
-        H = [ [v_b_pred x], 0 ]."""
+        H = [ [v_b_pred x], 0 ]. (matmuls at HIGHEST precision: TPU f32
+        defaults run through bf16 products — see InsGps.predict.)"""
+        with jax.default_matmul_precision("highest"):
+            return self._vector_update_hp(st, v_b_meas, v_n_ref, R)
+
+    def _vector_update_hp(self, st, v_b_meas, v_n_ref, R):
         v_pred = qrot_inv(st.q_nb, v_n_ref)
         H = jnp.concatenate(
             [skew(v_pred), jnp.zeros((3, 3), st.P.dtype)], axis=1)
@@ -206,8 +216,14 @@ class Ahrs:
         return masked_update(quasi_static, upd, st)
 
     def update_mag(self, st: AhrsState, mag_m) -> AhrsState:
-        return self._vector_update(st, mag_m, self.B_n.astype(st.P.dtype),
-                                   self.R_mag)
+        """Field-DIRECTION update (unit-normalized): in Tesla units the
+        innovation covariance is ~1e-13, which f32 linear algebra cannot
+        survive (see InsGps.update_mag); direction units are scale-sane
+        on the f32 fleet path and identical physics."""
+        m = mag_m / (jnp.linalg.norm(mag_m, axis=-1, keepdims=True) + 1e-30)
+        b_dir = self.B_n / jnp.linalg.norm(self.B_n)
+        return self._vector_update(st, m, b_dir.astype(st.P.dtype),
+                                   self.R_mag_dir)
 
     def step(self, st: AhrsState, omega_m, f_m=None, mag_m=None, v_b=None):
         st = self.predict(st, omega_m)
@@ -308,6 +324,10 @@ class Ins:
                         b_a=z, P=P0)
 
     def predict(self, st: InsState, f_m, q_nb) -> InsState:
+        with jax.default_matmul_precision("highest"):
+            return self._predict(st, f_m, q_nb)
+
+    def _predict(self, st: InsState, f_m, q_nb) -> InsState:
         from flightjax.ops.attitude import quat_to_matrix
         C = quat_to_matrix(q_nb)
         a_n = C @ (f_m - st.b_a) + self.g_n.astype(st.P.dtype)
@@ -325,6 +345,10 @@ class Ins:
         return InsState(p_n=p, v_n=v, b_a=st.b_a, P=P)
 
     def _update(self, st: InsState, H, y, R):
+        with jax.default_matmul_precision("highest"):
+            return self._update_hp(st, H, y, R)
+
+    def _update_hp(self, st: InsState, H, y, R):
         S = H @ st.P @ H.T + R.astype(st.P.dtype)
         K = jnp.linalg.solve(S.T, (st.P @ H.T).T).T
         dx = K @ y
@@ -414,7 +438,8 @@ class InsGps:
     def __init__(self, dt, sigma_gyro=8.7e-4, rw_gyro=3.0e-5,
                  sigma_accel=0.02, rw_accel=1.0e-3, sigma_mag=150.0e-9,
                  B_n=(19.0e-6, 0.0, 45.0e-6), sigma_gps_pos=1.6,
-                 sigma_gps_vel=0.06, sigma_baro=1.5, g=9.80665):
+                 sigma_gps_vel=0.06, sigma_baro=1.5, g=9.80665,
+                 sigma_geo_f32=20.0):
         self.dt = float(dt)
         self.g_n = jnp.asarray([0.0, 0.0, g])
         self.B_n = jnp.asarray(B_n)
@@ -430,7 +455,28 @@ class InsGps:
         self.R_pos = jnp.eye(3) * sigma_gps_pos**2
         self.R_vel = jnp.eye(3) * sigma_gps_vel**2
         self.R_baro = jnp.asarray([[sigma_baro**2]])
-        self.R_mag = jnp.eye(3) * sigma_mag**2
+        # direction-domain mag noise (see update_mag): sigma relative to
+        # the field magnitude, floored at 1 mrad of direction noise
+        B_mag = float(jnp.linalg.norm(jnp.asarray(B_n)))
+        self.R_mag_dir = jnp.eye(3) * max(sigma_mag / B_mag, 1e-3)**2
+        # f32-truth geodesy derating (see R_pos_eff)
+        self.sigma_geo_f32 = float(sigma_geo_f32)
+
+    def R_pos_eff(self, dtype):
+        """GPS position measurement covariance for the given compute
+        dtype. On the f32 fleet fast path, the SIMULATION TRUTH's
+        geodetic position itself carries maneuver-correlated rounding
+        wander (the position quaternion's f32 increments; measured ~15 m
+        steady / ~45 m transient on the C172X turning climb — see
+        docs/notes/performance.md), which reaches the filter through the
+        GPS measurement construction. Modeling it as extra position-
+        measurement noise (exactly how a real receiver derates for
+        multipath) keeps the update consistent and the NIS monitor
+        false-alarm-free on BOTH precisions; f64 keeps the catalog R."""
+        R = self.R_pos
+        if jnp.dtype(dtype) == jnp.float32:
+            R = R + jnp.eye(3) * self.sigma_geo_f32**2
+        return R.astype(dtype)
 
     def init(self, q_nb=None, v_n=None, p_n=None, att_std=0.05,
              vel_std=0.2, pos_std=3.0, bg_std=5e-3, ba_std=0.05):
@@ -448,6 +494,15 @@ class InsGps:
     # ------------------------------------------------------------- predict
 
     def predict(self, st: InsGpsState, omega_m, f_m) -> InsGpsState:
+        from flightjax.ops.attitude import quat_to_matrix
+        # full-f32 matmul precision is load-bearing on TPU: the default
+        # MXU pass runs f32 matmuls through bf16 products, which the
+        # Riccati recursion (P spans ~1e-8..1e1) cannot survive — NaNs on
+        # the chip within seconds (caught by the round-4 verify drive)
+        with jax.default_matmul_precision("highest"):
+            return self._predict(st, omega_m, f_m)
+
+    def _predict(self, st: InsGpsState, omega_m, f_m) -> InsGpsState:
         from flightjax.ops.attitude import quat_to_matrix
         dt = self.dt
         dtp = st.P.dtype
@@ -469,17 +524,23 @@ class InsGps:
             [Z3, Z3, Z3, I3, Z3],
             [Z3, Z3, Z3, Z3, I3]])
         P = Phi @ st.P @ Phi.T + self.Q.astype(dtp)
+        P = 0.5 * (P + P.T)  # f32 symmetry guard (state scales span ~1e7)
         return InsGpsState(q_nb=q, v_n=v, p_n=p, b_g=st.b_g, b_a=st.b_a,
                            P=P)
 
     # -------------------------------------------------------------- updates
 
     def _update(self, st: InsGpsState, H, y, R):
+        with jax.default_matmul_precision("highest"):
+            return self._update_hp(st, H, y, R)
+
+    def _update_hp(self, st: InsGpsState, H, y, R):
         S = H @ st.P @ H.T + R.astype(st.P.dtype)
         K = jnp.linalg.solve(S.T, (st.P @ H.T).T).T
         dx = K @ y
         IKH = jnp.eye(15, dtype=st.P.dtype) - K @ H
         P = IKH @ st.P @ IKH.T + K @ R.astype(st.P.dtype) @ K.T
+        P = 0.5 * (P + P.T)  # f32 symmetry guard
         q = qnormalize(qmul(st.q_nb, rvec_to_quat(dx[0:3])))
         return InsGpsState(q_nb=q, v_n=st.v_n + dx[3:6],
                            p_n=st.p_n + dx[6:9], b_g=st.b_g + dx[9:12],
@@ -494,7 +555,7 @@ class InsGps:
     def update_gps(self, st: InsGpsState, p_meas, v_meas, valid=True):
         dtp = st.P.dtype
         upd = self._update(st, self._blockH(6, dtp), p_meas - st.p_n,
-                           self.R_pos)
+                           self.R_pos_eff(dtp))
         upd = self._update(upd, self._blockH(3, dtp), v_meas - upd.v_n,
                            self.R_vel)
         return masked_update(jnp.asarray(valid), upd, st)
@@ -507,11 +568,17 @@ class InsGps:
 
     def update_mag(self, st: InsGpsState, mag_m):
         """Heading anchor: body-frame observation of the known NED field
-        (same right-multiplicative H = [v_pred×] as `Ahrs`)."""
-        v_pred = qrot_inv(st.q_nb, self.B_n.astype(st.P.dtype))
+        DIRECTION (unit-normalized, same right-multiplicative
+        H = [v_pred×] as `Ahrs`). Normalization is load-bearing for the
+        f32 fleet path: in Tesla units S ~ 1e-13, which the 15x15 solve
+        cannot survive at f32 precision (NaNs on the chip, caught by the
+        round-4 verify drive); in direction units S ~ 1e-5."""
+        m = mag_m / (jnp.linalg.norm(mag_m, axis=-1, keepdims=True) + 1e-30)
+        b_dir = self.B_n / jnp.linalg.norm(self.B_n)
+        v_pred = qrot_inv(st.q_nb, b_dir.astype(st.P.dtype))
         H = jnp.concatenate(
             [skew(v_pred), jnp.zeros((3, 12), st.P.dtype)], axis=1)
-        return self._update(st, H, mag_m - v_pred, self.R_mag)
+        return self._update(st, H, m - v_pred, self.R_mag_dir)
 
     def step(self, st: InsGpsState, omega_m, f_m, mag_m=None, gps_p=None,
              gps_v=None, gps_new=False, h_baro=None, h_origin=0.0):

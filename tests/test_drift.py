@@ -207,3 +207,41 @@ def test_mechanization_agreement_bare_body_1s():
     np.testing.assert_allclose(np.asarray(out["wa"].kinematics.v_eb_b),
                                np.asarray(out["ecef"].kinematics.v_eb_b),
                                atol=1e-9)
+
+
+@pytest.mark.slow
+def test_f32_envelope_600s_autopilot():
+    """The f32 envelope for the CLOSED-LOOP autopilot mission (BASELINE
+    row 3): 600 s C172Xv1 turning climb (EAS 45 + 1.5 m/s climb + course
+    capture), f32+Kahan vs f64. Measured 2026-08-21
+    (tools/exp_f32_comp.py, scenario 'autopilot'):
+
+        comp=True : |dr| = 0.85 m, |dv| = 2.1e-5 m/s,
+                    attitude 7.1e-6 rad, EAS 1e-5 m/s
+        comp=False: |dr| = 63.2 m
+
+    The regulator suppresses the open-loop drift modes — everything but
+    absolute position is ~f32-roundoff-exact, and compensated absolute
+    position stays sub-metre over the full mission. Bounds carry ~5x
+    margin. Each leg trims itself: the autopilot regulates away sub-ulp
+    trim scatter within seconds (see tools/exp_f32_comp.py)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "exp_f32_comp", os.path.join(os.path.dirname(__file__), os.pardir,
+                                     "tools", "exp_f32_comp.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    ref = tool.leg([], x64=True, comp=False, t_end=600.0,
+                   scenario="autopilot")
+    got = tool.leg([], x64=False, comp="'auto'", t_end=600.0,
+                   scenario="autopilot")
+    dr = np.linalg.norm(np.asarray(got["r"]) - np.asarray(ref["r"]))
+    dv = np.linalg.norm(np.asarray(got["v"]) - np.asarray(ref["v"]))
+    de = np.max(np.abs(np.asarray(got["e"]) - np.asarray(ref["e"])))
+    dEAS = abs(got["EAS"] - ref["EAS"])
+    assert dr < 5.0, f"600 s closed-loop f32 position drift {dr:.2f} m"
+    assert dv < 1e-3, f"600 s closed-loop velocity drift {dv:.2e} m/s"
+    assert de < 1e-4, f"600 s closed-loop attitude drift {de:.2e} rad"
+    assert dEAS < 1e-3, f"600 s closed-loop EAS drift {dEAS:.2e} m/s"

@@ -1,5 +1,5 @@
 """Closed-loop navigation avionics tests: the C172X control laws flying
-on ESTIMATED states (truth -> SensorSuite -> Ahrs/Ins -> ControlLaws),
+on ESTIMATED states (truth -> SensorSuite -> InsGps -> ControlLaws),
 the VERDICT-r3 #1 'close the sensor->control loop' capability.
 
 No reference counterpart: Flight.jl's avionics consume true KinData
