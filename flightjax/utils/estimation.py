@@ -91,6 +91,45 @@ def masked_update(valid, updated, prior):
         lambda a, b: jnp.where(valid, a, b), updated, prior)
 
 
+
+def _inv3(S):
+    """Closed-form 3x3 inverse via the adjugate. `jnp.linalg.solve`'s
+    batched LU lowers to a sequential pivoting loop on TPU (measured
+    ~80x slowdown of the closed-loop nav fleet step at batch 4096 —
+    same trap `physics.dynamics.solve3` documents); the adjugate is a
+    handful of fused elementwise ops. Innovation covariances here are
+    SPD and O(1)-conditioned, so Cramer is numerically safe."""
+    a00, a01, a02 = S[..., 0, 0], S[..., 0, 1], S[..., 0, 2]
+    a10, a11, a12 = S[..., 1, 0], S[..., 1, 1], S[..., 1, 2]
+    a20, a21, a22 = S[..., 2, 0], S[..., 2, 1], S[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    adjT = jnp.stack([jnp.stack([c00, c10, c20], axis=-1),
+                      jnp.stack([c01, c11, c21], axis=-1),
+                      jnp.stack([c02, c12, c22], axis=-1)], axis=-2)
+    return adjT / det[..., None, None]
+
+
+def _gain(P, H, S):
+    """Kalman gain K = P Hᵀ S⁻¹ with a TPU-friendly small-matrix solve:
+    scalar division for 1-DoF, adjugate inverse for 3-DoF, LU otherwise."""
+    PHt = P @ H.T
+    m = S.shape[0]
+    if m == 1:
+        return PHt / S[0, 0]
+    if m == 3:
+        return PHt @ _inv3(S)
+    return jnp.linalg.solve(S.T, PHt.T).T
+
+
 # ------------------------------------------------------------------ AHRS
 
 class AhrsState(NamedTuple):
@@ -183,7 +222,7 @@ class Ahrs:
             [skew(v_pred), jnp.zeros((3, 3), st.P.dtype)], axis=1)
         y = v_b_meas - v_pred
         S = H @ st.P @ H.T + R.astype(st.P.dtype)
-        K = jnp.linalg.solve(S.T, (st.P @ H.T).T).T
+        K = _gain(st.P, H, S)
         dx = K @ y
         IKH = jnp.eye(6, dtype=st.P.dtype) - K @ H
         P = IKH @ st.P @ IKH.T + K @ R.astype(st.P.dtype) @ K.T
@@ -350,7 +389,7 @@ class Ins:
 
     def _update_hp(self, st: InsState, H, y, R):
         S = H @ st.P @ H.T + R.astype(st.P.dtype)
-        K = jnp.linalg.solve(S.T, (st.P @ H.T).T).T
+        K = _gain(st.P, H, S)
         dx = K @ y
         IKH = jnp.eye(9, dtype=st.P.dtype) - K @ H
         P = IKH @ st.P @ IKH.T + K @ R.astype(st.P.dtype) @ K.T
@@ -536,7 +575,7 @@ class InsGps:
 
     def _update_hp(self, st: InsGpsState, H, y, R):
         S = H @ st.P @ H.T + R.astype(st.P.dtype)
-        K = jnp.linalg.solve(S.T, (st.P @ H.T).T).T
+        K = _gain(st.P, H, S)
         dx = K @ y
         IKH = jnp.eye(15, dtype=st.P.dtype) - K @ H
         P = IKH @ st.P @ IKH.T + K @ R.astype(st.P.dtype) @ K.T
@@ -625,7 +664,10 @@ def nis(y, S):
     with dim(y) degrees of freedom when the filter is consistent. The
     standard residual test for sensor-fault detection: compare against a
     chi-square quantile (e.g. 16.3 = 99.9% for 3 DoF) and flag epochs
-    above it."""
+    above it. (3-DoF uses the adjugate inverse — see `_inv3`; batched LU
+    is a TPU performance trap.)"""
+    if S.shape[-1] == 3:
+        return y @ (_inv3(S) @ y)
     return y @ jnp.linalg.solve(S, y)
 
 
