@@ -372,11 +372,25 @@ class Simulation:
                                         state.s["vehicle"])
             gear_cm = gear_gated(jnp.any(h < self.gear_gate_margin))
 
+        # NavAvionics GPS-epoch gate (physics/navigation.py): the
+        # monitored-GPS filter block only does work on 1 of gps_every
+        # firings, and the epoch counter is fleet-uniform — hoist it
+        # behind a fleet-level scalar lax.cond like the gear gate
+        nav_cm = contextlib.nullcontext()
+        av = getattr(getattr(self.system, "aircraft", None),
+                     "avionics", None)
+        if (av is not None and hasattr(av, "gps_epoch_pred")
+                and isinstance(state.s, dict) and "avionics" in state.s):
+            pred = av.gps_epoch_pred(state.s["avionics"])
+            if pred is not None:
+                from flightjax.physics.navigation import gps_epoch_gated
+                nav_cm = gps_epoch_gated(pred)
+
         if vehicle is None or not getattr(vehicle, "geoid_in_step", False):
-            with gear_cm:
+            with gear_cm, nav_cm:
                 return jax.vmap(lambda st: self.step(st, ctx))(state)
 
-        with gear_cm, geoid_deferred():
+        with gear_cm, nav_cm, geoid_deferred():
             new = jax.vmap(lambda st: self.step(st, ctx))(state)
 
         # narrow cond operands to the position states + the undulation

@@ -52,6 +52,8 @@ Known approximations (documented, all far below the control bands):
   init (non-standard-atmosphere scale error is absorbed by GPS updates).
 """
 
+import contextlib
+import contextvars
 import math
 from typing import NamedTuple
 
@@ -77,6 +79,23 @@ FAULT_NONE, FAULT_GPS, FAULT_BARO = 0, 1, 2
 MODE_FREEZE, MODE_BIAS, MODE_DROPOUT = 0, 1, 2
 
 _NEVER = 2**31 - 1
+
+# Trace-scoped fleet-level GPS-epoch gate (see NavAvionics.f_periodic and
+# Simulation.fleet_step): a context-local, not an attribute, so concurrent
+# traces cannot race (same design as aircraftbase.geoid_deferred).
+_gps_gate = contextvars.ContextVar("flightjax_gps_gate", default=None)
+
+
+@contextlib.contextmanager
+def gps_epoch_gated(any_epoch):
+    """Scope in which NavAvionics' monitored-GPS block is `lax.cond`-gated
+    on the scalar `any_epoch` (True = some lane has a GPS epoch this
+    step, so the full block must run; per-lane masks still apply)."""
+    token = _gps_gate.set(any_epoch)
+    try:
+        yield
+    finally:
+        _gps_gate.reset(token)
 
 
 def no_fault():
@@ -266,13 +285,38 @@ class NavAvionics:
         # 3. fused INS/GPS error-state EKF: predict on the IMU epoch, then
         # monitored GPS / baro updates (reject-and-coast FDI) + mag heading
         st = self.filter.predict(s["nav"], z.omega_b, z.f_b)
-        y_gps = p_gps - st.p_n
-        S_gps = st.P[6:9, 6:9] + self.filter.R_pos_eff(st.P.dtype)
-        nis_gps = nis(y_gps, S_gps)
-        mon_gps, gps_alarm = self._mon_update(s["mon_gps"], nis_gps,
-                                              valid=gps_new)
-        gps_ok = gps_new & ~gps_alarm
-        st = self.filter.update_gps(st, p_gps, v_gps, valid=gps_ok)
+
+        def gps_block(op):
+            st, mon, p_g, v_g, new = op
+            y_gps = p_g - st.p_n
+            S_gps = st.P[6:9, 6:9] + self.filter.R_pos_eff(st.P.dtype)
+            nis_gps = nis(y_gps, S_gps)
+            mon2, alarm = self._mon_update(mon, nis_gps, valid=new)
+            st2 = self.filter.update_gps(st, p_g, v_g,
+                                         valid=new & ~alarm)
+            return st2, mon2, alarm, nis_gps
+
+        operand = (st, s["mon_gps"], p_gps, v_gps, gps_new)
+        gate = _gps_gate.get()
+        if gate is None:
+            st, mon_gps, gps_alarm, nis_gps = gps_block(operand)
+        else:
+            # fleet-level scalar gate (see Simulation.fleet_step /
+            # gps_epoch_gated): skip the whole monitored-GPS block on
+            # steps where NO lane has a GPS epoch — inside vmap a
+            # per-lane mask runs both sides; the scalar lax.cond
+            # genuinely skips (the gear-gate pattern)
+            from flightjax.core.modeling import match_vma
+
+            def skip(op):
+                st, mon, *_ = op
+                return st, mon, mon["alarm"], jnp.zeros((), st.P.dtype)
+
+            st, mon_gps, gps_alarm, nis_gps = jax.lax.cond(
+                gate,
+                lambda op: match_vma(gps_block(op), op),
+                lambda op: match_vma(skip(op), op),
+                operand)
 
         h_meas = h_baro - org["baro_datum"]      # ~ ellipsoidal altitude
         y_b = h_meas - org["h0"] + st.p_n[2]
@@ -319,6 +363,18 @@ class NavAvionics:
                          "baro": nis_baro},
                  "mon_gps": mon_gps, "mon_baro": mon_baro}
         return s_new, {"inner": y_in, "nav": nav_y}
+
+    def gps_epoch_pred(self, s_av):
+        """Fleet-level scalar predicate for `Simulation.fleet_step`: does
+        ANY lane have a GPS epoch on this step's firing? Conservative —
+        when True the full monitored-GPS block runs with its per-lane
+        masks; when False every lane's `gps_new` is False and the block
+        is skipped exactly. Returns None when gps_every == 1 (the gate
+        would never skip)."""
+        if self.suite.gps_every <= 1:
+            return None
+        n = s_av["sens"]["n"]
+        return jnp.any((n + 1) % self.suite.gps_every == 0)
 
     # ----------------------------------------------------------------- init
 

@@ -230,3 +230,43 @@ def test_fleet_fdi_mission_on_virtual_mesh(nav_rig):
     h = np.asarray(out.x["vehicle"]["kinematics"]["h_e"])
     assert np.isfinite(h).all()
     assert not np.asarray(out.s["terminated"]).any()
+
+
+def test_gps_epoch_gate_is_exact(nav_rig):
+    """`Simulation.fleet_step`'s fleet-level GPS-epoch gate (skip the
+    monitored-GPS block when no lane has an epoch) must reproduce the
+    ungated fleet path to reassociation tolerance (same geoid cadence;
+    only the gate differs)."""
+    from flightjax.parallel import fleet
+
+    sim, state0, aircraft = nav_rig
+    state = _engage_turning_climb(state0)
+    B = 3
+    st0 = fleet.broadcast_state(state, B)
+    av_u = dict(st0.u["avionics"])
+    av_u["sens"] = dict(av_u["sens"], seed=jnp.arange(B, dtype=jnp.int32))
+    st0 = st0._replace(u=dict(st0.u, avionics=av_u))
+
+    def roll(st):
+        step = jax.jit(lambda s: sim.fleet_step(s, ()))
+        for _ in range(25):
+            st = step(st)
+        return st
+
+    gated = roll(st0)
+
+    av = aircraft.avionics
+    orig = av.__class__.gps_epoch_pred
+    try:
+        av.gps_epoch_pred = lambda s_av: None  # disable the gate
+        ungated = roll(st0)
+    finally:
+        del av.gps_epoch_pred
+        assert av.__class__.gps_epoch_pred is orig
+
+    for a, b in zip(jax.tree.leaves(gated), jax.tree.leaves(ungated)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == bool or np.issubdtype(a.dtype, np.integer):
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
