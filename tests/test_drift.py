@@ -245,3 +245,32 @@ def test_f32_envelope_600s_autopilot():
     assert dv < 1e-3, f"600 s closed-loop velocity drift {dv:.2e} m/s"
     assert de < 1e-4, f"600 s closed-loop attitude drift {de:.2e} rad"
     assert dEAS < 1e-3, f"600 s closed-loop EAS drift {dEAS:.2e} m/s"
+
+
+@pytest.mark.slow
+def test_f32_envelope_600s_autopilot_nav():
+    """The f32 envelope for the SENSOR-FED closed loop: 600 s turning
+    climb flown entirely on estimated states (SensorSuite -> InsGps ->
+    ControlLaws). Sensor noise streams are defined in f32 and cast up
+    (sensors._draws), so the f64/f32 legs fly identical realizations and
+    the comparison is pure arithmetic drift. Measured 2026-08-21:
+    comp=True |dr| = 0.37 m, |dv| = 1.4e-4 m/s, attitude 4.4e-5 rad,
+    EAS 2e-5 m/s (comp=False: 1118 m)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "exp_f32_comp", os.path.join(os.path.dirname(__file__), os.pardir,
+                                     "tools", "exp_f32_comp.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    ref = tool.leg([], x64=True, comp=False, t_end=600.0,
+                   scenario="autopilot_nav")
+    got = tool.leg([], x64=False, comp="'auto'", t_end=600.0,
+                   scenario="autopilot_nav")
+    dr = np.linalg.norm(np.asarray(got["r"]) - np.asarray(ref["r"]))
+    dv = np.linalg.norm(np.asarray(got["v"]) - np.asarray(ref["v"]))
+    de = np.max(np.abs(np.asarray(got["e"]) - np.asarray(ref["e"])))
+    assert dr < 5.0, f"600 s sensor-fed f32 position drift {dr:.2f} m"
+    assert dv < 2e-3, f"600 s sensor-fed velocity drift {dv:.2e} m/s"
+    assert de < 5e-4, f"600 s sensor-fed attitude drift {de:.2e} rad"
