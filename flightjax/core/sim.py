@@ -372,19 +372,20 @@ class Simulation:
                                         state.s["vehicle"])
             gear_cm = gear_gated(jnp.any(h < self.gear_gate_margin))
 
-        # NavAvionics GPS-epoch gate (physics/navigation.py): the
-        # monitored-GPS filter block only does work on 1 of gps_every
-        # firings, and the epoch counter is fleet-uniform — hoist it
-        # behind a fleet-level scalar lax.cond like the gear gate
+        # NavAvionics aiding-epoch gates (physics/navigation.py): the
+        # monitored GPS/baro/mag filter blocks only do work on 1 of
+        # *_every firings, and the epoch counter is fleet-uniform —
+        # hoist them behind fleet-level scalar lax.conds like the gear
+        # gate
         nav_cm = contextlib.nullcontext()
         av = getattr(getattr(self.system, "aircraft", None),
                      "avionics", None)
-        if (av is not None and hasattr(av, "gps_epoch_pred")
+        if (av is not None and hasattr(av, "epoch_preds")
                 and isinstance(state.s, dict) and "avionics" in state.s):
-            pred = av.gps_epoch_pred(state.s["avionics"])
-            if pred is not None:
-                from flightjax.physics.navigation import gps_epoch_gated
-                nav_cm = gps_epoch_gated(pred)
+            preds = av.epoch_preds(state.s["avionics"])
+            if preds is not None:
+                from flightjax.physics.navigation import epoch_gated
+                nav_cm = epoch_gated(preds)
 
         if vehicle is None or not getattr(vehicle, "geoid_in_step", False):
             with gear_cm, nav_cm:

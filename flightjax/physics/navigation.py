@@ -80,22 +80,24 @@ MODE_FREEZE, MODE_BIAS, MODE_DROPOUT = 0, 1, 2
 
 _NEVER = 2**31 - 1
 
-# Trace-scoped fleet-level GPS-epoch gate (see NavAvionics.f_periodic and
-# Simulation.fleet_step): a context-local, not an attribute, so concurrent
-# traces cannot race (same design as aircraftbase.geoid_deferred).
-_gps_gate = contextvars.ContextVar("flightjax_gps_gate", default=None)
+# Trace-scoped fleet-level aiding-epoch gates (see NavAvionics.f_periodic
+# and Simulation.fleet_step): a context-local, not an attribute, so
+# concurrent traces cannot race (same design as aircraftbase.geoid_deferred).
+_epoch_gates = contextvars.ContextVar("flightjax_nav_gates", default=None)
 
 
 @contextlib.contextmanager
-def gps_epoch_gated(any_epoch):
-    """Scope in which NavAvionics' monitored-GPS block is `lax.cond`-gated
-    on the scalar `any_epoch` (True = some lane has a GPS epoch this
-    step, so the full block must run; per-lane masks still apply)."""
-    token = _gps_gate.set(any_epoch)
+def epoch_gated(preds):
+    """Scope in which NavAvionics' monitored aiding blocks are
+    `lax.cond`-gated on fleet-level scalars: `preds` maps
+    {"gps"|"baro"|"mag"} to "some lane has this aiding epoch on this
+    step" (True = the full block must run; per-lane masks still apply,
+    so the gate is conservative and exact)."""
+    token = _epoch_gates.set(preds or {})
     try:
         yield
     finally:
-        _gps_gate.reset(token)
+        _epoch_gates.reset(token)
 
 
 def no_fault():
@@ -157,13 +159,23 @@ class NavAvionics:
 
     needs_terrain = True  # Aircraft.f_periodic plumbs h_trn when set
 
-    def __init__(self, inner, dt, gps_every=10, params=None,
-                 use_estimates=True, gps_gate=16.27, baro_gate=10.83,
-                 monitor_window=6, monitor_min_hits=3, filter_kw=None):
+    def __init__(self, inner, dt, gps_every=10, mag_every=5, baro_every=5,
+                 params=None, use_estimates=True, gps_gate=16.27,
+                 baro_gate=10.83, monitor_window=6, monitor_min_hits=3,
+                 filter_kw=None):
         self.inner = inner
         self.dt = float(dt)
         self.use_estimates = bool(use_estimates)
         self.suite = SensorSuite(dt=dt, gps_every=gps_every)
+        # aiding rates: the gyro/accel PROPAGATION runs at the avionics
+        # rate (50 Hz default); mag and baro AIDING run every mag_every /
+        # baro_every epochs (10 Hz at the defaults — typical production
+        # rates). Each skipped epoch saves a full 15x15 Joseph update —
+        # at fleet scale these dominate the filter's device time
+        # (profiled: docs/notes/performance.md round 4) — and the skips
+        # ride the same fleet-level scalar lax.cond as the GPS block.
+        self.mag_every = int(mag_every)
+        self.baro_every = int(baro_every)
         p = params if params is not None else suite_params()
         self._params = p
 
@@ -296,36 +308,57 @@ class NavAvionics:
                                          valid=new & ~alarm)
             return st2, mon2, alarm, nis_gps
 
-        operand = (st, s["mon_gps"], p_gps, v_gps, gps_new)
-        gate = _gps_gate.get()
-        if gate is None:
-            st, mon_gps, gps_alarm, nis_gps = gps_block(operand)
-        else:
-            # fleet-level scalar gate (see Simulation.fleet_step /
-            # gps_epoch_gated): skip the whole monitored-GPS block on
-            # steps where NO lane has a GPS epoch — inside vmap a
-            # per-lane mask runs both sides; the scalar lax.cond
-            # genuinely skips (the gear-gate pattern)
-            from flightjax.core.modeling import match_vma
+        from flightjax.core.modeling import match_vma
 
-            def skip(op):
-                st, mon, *_ = op
-                return st, mon, mon["alarm"], jnp.zeros((), st.P.dtype)
+        gates = _epoch_gates.get() or {}
 
-            st, mon_gps, gps_alarm, nis_gps = jax.lax.cond(
+        def gated(gate, block, skip, operand):
+            """Fleet-level scalar lax.cond around an aiding block (the
+            gear-gate pattern): inside vmap a per-lane mask runs both
+            sides; the scalar cond genuinely skips. match_vma keeps the
+            branch types legal under shard_map."""
+            if gate is None:
+                return block(operand)
+            return jax.lax.cond(
                 gate,
-                lambda op: match_vma(gps_block(op), op),
+                lambda op: match_vma(block(op), op),
                 lambda op: match_vma(skip(op), op),
                 operand)
 
+        def mon_skip(op):
+            st, mon, *_ = op
+            return st, mon, mon["alarm"], jnp.zeros((), st.P.dtype)
+
+        st, mon_gps, gps_alarm, nis_gps = gated(
+            gates.get("gps"), gps_block, mon_skip,
+            (st, s["mon_gps"], p_gps, v_gps, gps_new))
+
+        # baro aiding on baro_every epochs (monitored, reject-and-coast)
+        baro_new = (s_sens["n"] % self.baro_every) == 0
         h_meas = h_baro - org["baro_datum"]      # ~ ellipsoidal altitude
-        y_b = h_meas - org["h0"] + st.p_n[2]
-        S_b = st.P[8, 8] + self.filter.R_baro[0, 0].astype(st.P.dtype)
-        nis_baro = y_b * y_b / S_b
-        mon_baro, baro_alarm = self._bmon_update(s["mon_baro"], nis_baro)
-        upd = self.filter.update_baro(st, h_meas, org["h0"])
-        st = masked_update(~baro_alarm, upd, st)
-        st = self.filter.update_mag(st, z.mag_b)
+
+        def baro_block(op):
+            st, mon, h_m, new = op
+            y_b = h_m - org["h0"] + st.p_n[2]
+            S_b = st.P[8, 8] + self.filter.R_baro[0, 0].astype(st.P.dtype)
+            nis_b = y_b * y_b / S_b
+            mon2, alarm = self._bmon_update(mon, nis_b, valid=new)
+            upd = self.filter.update_baro(st, h_m, org["h0"])
+            return masked_update(new & ~alarm, upd, st), mon2, alarm, nis_b
+
+        st, mon_baro, baro_alarm, nis_baro = gated(
+            gates.get("baro"), baro_block, mon_skip,
+            (st, s["mon_baro"], h_meas, baro_new))
+
+        # mag (heading) aiding on mag_every epochs
+        mag_new = (s_sens["n"] % self.mag_every) == 0
+
+        def mag_block(op):
+            st, m, new = op
+            return (masked_update(new, self.filter.update_mag(st, m), st),)
+
+        (st,) = gated(gates.get("mag"), mag_block, lambda op: (op[0],),
+                      (st, z.mag_b, mag_new))
         q_est = st.q_nb
 
         # 4. estimated VehicleY for the inner avionics
@@ -360,21 +393,27 @@ class NavAvionics:
         s_new = {"inner": s_in, "sens": s_sens, "nav": st,
                  "hold": hold,
                  "nis": {"gps": jnp.where(gps_new, nis_gps, s["nis"]["gps"]),
-                         "baro": nis_baro},
+                         "baro": jnp.where(baro_new, nis_baro,
+                                           s["nis"]["baro"])},
                  "mon_gps": mon_gps, "mon_baro": mon_baro}
         return s_new, {"inner": y_in, "nav": nav_y}
 
-    def gps_epoch_pred(self, s_av):
-        """Fleet-level scalar predicate for `Simulation.fleet_step`: does
-        ANY lane have a GPS epoch on this step's firing? Conservative —
-        when True the full monitored-GPS block runs with its per-lane
-        masks; when False every lane's `gps_new` is False and the block
-        is skipped exactly. Returns None when gps_every == 1 (the gate
-        would never skip)."""
-        if self.suite.gps_every <= 1:
-            return None
-        n = s_av["sens"]["n"]
-        return jnp.any((n + 1) % self.suite.gps_every == 0)
+    def epoch_preds(self, s_av):
+        """Fleet-level scalar predicates for `Simulation.fleet_step`:
+        per aiding channel, does ANY lane have an epoch on this step's
+        firing? Conservative — when True the full monitored block runs
+        with its per-lane masks; when False every lane's epoch flag is
+        False and the block is skipped exactly. Channels with every==1
+        are omitted (their gate would never skip). Returns None when
+        nothing is gateable."""
+        n1 = s_av["sens"]["n"] + 1
+        preds = {}
+        for name, every in (("gps", self.suite.gps_every),
+                            ("baro", self.baro_every),
+                            ("mag", self.mag_every)):
+            if every > 1:
+                preds[name] = jnp.any(n1 % every == 0)
+        return preds or None
 
     # ----------------------------------------------------------------- init
 
