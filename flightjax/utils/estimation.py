@@ -19,11 +19,22 @@ avionics loop: truth -> sensors -> filter -> control. Designed TPU-first:
 - covariance updates use the Joseph form, which stays symmetric
   positive-definite in f32 (the fleet fast path) as well as f64.
 
-The `Ahrs` class is a standard 6-state multiplicative EKF (attitude
-error + gyro bias) propagating a unit-quaternion nominal with gyro
-measurements and correcting from the accelerometer gravity direction and
-the magnetometer field — the classic light-aircraft AHRS complement to
-the `SensorSuite` IMU/mag models.
+Three filters, by use case:
+- `Ahrs` — 6-state multiplicative EKF (attitude error + gyro bias):
+  gravity-direction + mag aiding, with optional ω×v centripetal
+  compensation. For sensor studies and mild-dynamics attitude work.
+- `Ins` — 9-state loosely-coupled position/velocity/accel-bias
+  navigator fed an external attitude (pair with `Ahrs`).
+- `InsGps` — the fused 15-state error-state EKF (attitude + velocity +
+  position + both bias sets). THE closed-loop navigator
+  (`physics/navigation.py`): in sustained maneuvers, gravity-direction
+  aiding is biased by the maneuver acceleration and a cascaded AHRS
+  cannot receive the GPS-velocity information that disambiguates it —
+  the fused filter observes attitude through the −C[f×] coupling of
+  velocity residuals. f32-hardened for the TPU fleet path: HIGHEST-
+  precision matmuls, direction-domain mag updates, adjugate gains
+  (`_inv3`/`_gain` — batched LU is a TPU trap), P symmetrization, and
+  f32-truth GPS derating (`R_pos_eff`).
 """
 
 from typing import NamedTuple
