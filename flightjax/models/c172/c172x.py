@@ -379,13 +379,27 @@ def build_xv2(kinematics="wa", gains=None, **kw) -> Aircraft:
 def build_xv1_nav(kinematics="wa", gains=None, periodic_dt=0.02,
                   use_estimates=True, nav_kw=None, **kw) -> Aircraft:
     """Cessna172Xv1 flying on ESTIMATED states: FBW + NavAvionics(
-    SensorSuite -> Ahrs -> Ins -> ControlLaws). No reference counterpart —
+    SensorSuite -> InsGps -> ControlLaws). No reference counterpart —
     Flight.jl's control laws read true KinData (`aircraftbase.jl:201-210`);
     see `flightjax.physics.navigation`. `periodic_dt` must match the
     Simulation's periodic interval (the sensor/filter rate)."""
     from flightjax.models.c172.c172x_ctl import ControlLaws
     from flightjax.physics.navigation import NavAvionics
     nav = NavAvionics(ControlLaws(gains), dt=periodic_dt,
+                      use_estimates=use_estimates, **(nav_kw or {}))
+    return Aircraft(build_vehicle(kinematics, **kw), avionics=nav)
+
+
+def build_xv2_nav(kinematics="wa", gains=None, periodic_dt=0.02,
+                  use_estimates=True, nav_kw=None, **kw) -> Aircraft:
+    """Cessna172Xv2 flying on ESTIMATED states: FBW + NavAvionics(
+    SensorSuite -> InsGps -> {GuidanceLaws, ControlLaws}) — segment and
+    LOITER guidance closed entirely over the navigation solution (the
+    guidance laws consume the estimated position/course through the
+    same estimated VehicleY as the control laws)."""
+    from flightjax.models.c172.c172x_gdc import Avionics
+    from flightjax.physics.navigation import NavAvionics
+    nav = NavAvionics(Avionics(gains), dt=periodic_dt,
                       use_estimates=use_estimates, **(nav_kw or {}))
     return Aircraft(build_vehicle(kinematics, **kw), avionics=nav)
 

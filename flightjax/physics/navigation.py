@@ -373,10 +373,20 @@ class NavAvionics:
         chi_est = jnp.arctan2(v_n[..., 1], v_n[..., 0])
         gamma_est = jnp.arctan2(
             -v_n[..., 2], jnp.hypot(v_n[..., 0], v_n[..., 1]) + 1e-9)
+        # geographic position from the filter NED solution (the inverse
+        # of ned_from_geodetic's linearization) — guidance laws consume
+        # n_e/lat/lon/h_e, so a guided aircraft navigates on ITS OWN fix
+        n0 = geo.nvector_from_latlon(org["lat0"], org["lon0"])
+        M, N = geo.radii(n0)
+        lat_est = org["lat0"] + st.p_n[0] / (M + org["h0"])
+        lon_est = org["lon0"] + st.p_n[1] / ((N + org["h0"])
+                                             * jnp.cos(org["lat0"]))
         kin_est = kin._replace(
             q_nb=q_est, e_nb=quat_to_euler(q_est),
             omega_eb_b=omega_est, omega_wb_b=omega_est,
-            v_eb_n=v_n, h_e=h_est, chi_gnd=chi_est, gamma_gnd=gamma_est)
+            v_eb_n=v_n, h_e=h_est, chi_gnd=chi_est, gamma_gnd=gamma_est,
+            lat=lat_est, lon=lon_est,
+            n_e=geo.nvector_from_latlon(lat_est, lon_est))
         air_est = air._replace(EAS=EAS_est, TAS=TAS_est, CAS=z.CAS,
                                p=z.p_s, T=z.T_oat)
         y_est = veh_y._replace(kinematics=kin_est, airflow=air_est)

@@ -271,3 +271,57 @@ def test_gps_epoch_gate_is_exact(nav_rig):
             np.testing.assert_array_equal(a, b)
         else:
             np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
+
+
+def test_guided_loiter_on_estimates():
+    """C172Xv2 + NavAvionics: circular (loiter) guidance closed entirely
+    over the navigation solution — the guidance laws read the FILTER's
+    position/course (estimated n_e/chi in the estimated VehicleY), not
+    truth. 60 s from 500 m outside the circle: radial error shrinking,
+    altitude held, no FDI alarms."""
+    from flightjax.core.sim import Simulation
+    from flightjax.models.c172 import c172x_gdc as GDC
+    from flightjax.ops import geodesy as geo
+    from flightjax.ops.quaternions import qrot
+
+    aircraft = c172x.build_xv2_nav("wa", periodic_dt=DT)
+    world = SimpleWorld(aircraft)
+    sim = Simulation(world, dt=DT, periodic_dt=DT)
+    state, _, rnorm = c172x.trim_world(aircraft, C172.trim_parameters(),
+                                       periodic_dt=DT)
+    assert float(rnorm) < 1e-10
+
+    _, y0 = aircraft.vehicle.f_ode(state.x["vehicle"], state.u["vehicle"],
+                                   state.s["vehicle"], 0.0)
+    h0 = float(y0.kinematics.h_e)
+    q_en = geo.ltf(y0.kinematics.n_e)
+    r_c = geo.cartesian_from_geographic(y0.kinematics.n_e,
+                                        y0.kinematics.h_e) \
+        + qrot(q_en, jnp.asarray([2000.0, 0.0, 0.0]))
+    n_c, _ = geo.geographic_from_cartesian(r_c)
+    lat_c, lon_c = geo.latlon_from_nvector(n_c)
+    orbit = GDC.circle(float(lat_c), float(lon_c), h0, radius=1500.0)
+
+    av = dict(state.u["avionics"])
+    inner = dict(av["inner"])
+    inner["gdc"] = dict(inner["gdc"],
+                        mode_req=jnp.asarray(GDC.GDC_CIRCULAR, jnp.int32),
+                        orbit=orbit, hor_gdc_req=jnp.asarray(True),
+                        vrt_gdc_req=jnp.asarray(True))
+    inner["ctl"] = dict(inner["ctl"],
+                        lon=dict(inner["ctl"]["lon"],
+                                 EAS_ref=jnp.asarray(40.0)))
+    av["inner"] = inner
+    state = state._replace(u=dict(state.u, avionics=av))
+
+    final, log = sim.run(state, t_end=60.0, save_every=100)
+    assert not bool(final.s["terminated"])
+    kin = log.y.vehicle.kinematics
+    assert abs(float(kin.h_e[-1]) - h0) < 10.0
+    d0 = GDC.circle_data(orbit, kin.n_e[0], kin.h_e[0])
+    d1 = GDC.circle_data(orbit, kin.n_e[-1], kin.h_e[-1])
+    assert abs(float(d1.e_cb)) < abs(float(d0.e_cb)) * 0.7, \
+        (float(d0.e_cb), float(d1.e_cb))
+    nav = log.y.avionics["nav"]
+    assert not np.asarray(nav["gps_alarm"]).any()
+    assert not np.asarray(nav["baro_alarm"]).any()
