@@ -253,3 +253,58 @@ if __name__ == "__main__":
     s = fleet_navigation_study(16)
     print(f"fleet(16): p95 max err {s['p95_max_err_deg']:.3f} deg, "
           f"{100 * s['frac_within_budget']:.0f}% within budget")
+
+
+def fdi_mission_demo(n_lanes=8, n_faulted=4, t_end=20.0, dt=0.02,
+                     fault_t=10.0):
+    """Fleet-scale fault-detection mission (the in-loop counterpart of
+    the certification question "will the avionics notice a frozen
+    GPS?"): `n_lanes` C172Xs fly the turning climb on their own
+    estimates; lanes [n_lanes - n_faulted:] suffer a GPS freeze at
+    `fault_t`. Returns per-lane alarm flags (faulted lanes must alarm,
+    healthy lanes must not — asserted at fleet scale on the mesh in
+    `tests/test_navigation.py::test_fleet_fdi_mission_on_virtual_mesh`)
+    plus altitude-estimate errors showing the coast response."""
+    from flightjax.core.sim import Simulation
+    from flightjax.models.c172 import c172x, common as C172
+    from flightjax.models.c172 import c172x_ctl as CTL
+    from flightjax.parallel import fleet
+    from flightjax.physics import navigation as NAV
+    from flightjax.physics.aircraftbase import SimpleWorld
+
+    aircraft = c172x.build_xv1_nav("wa", periodic_dt=dt)
+    world = SimpleWorld(aircraft)
+    sim = Simulation(world, dt=dt, periodic_dt=dt)
+    state, _, _ = c172x.trim_world(aircraft, C172.trim_parameters(),
+                                   periodic_dt=dt)
+    av = dict(state.u["avionics"])
+    inner = {"lon": dict(av["inner"]["lon"]), "lat": dict(av["inner"]["lat"])}
+    inner["lon"].update(mode_req=jnp.asarray(CTL.LON_EAS_CLM, jnp.int32),
+                        EAS_ref=jnp.asarray(45.0), clm_ref=jnp.asarray(1.5))
+    inner["lat"].update(mode_req=jnp.asarray(CTL.LAT_CHI_BETA, jnp.int32),
+                        chi_ref=jnp.asarray(jnp.pi / 2))
+    av["inner"] = inner
+    state = state._replace(u=dict(state.u, avionics=av))
+
+    st = fleet.broadcast_state(state, n_lanes)
+    av_u = dict(st.u["avionics"])
+    av_u["sens"] = dict(av_u["sens"],
+                        seed=jnp.arange(n_lanes, dtype=jnp.int32))
+    faulted = jnp.arange(n_lanes) >= (n_lanes - n_faulted)
+    k0 = jnp.where(faulted, int(round(fault_t / dt)),
+                   NAV._NEVER).astype(jnp.int32)
+    av_u["fault"] = dict(
+        NAV.no_fault(),
+        channel=jnp.full(n_lanes, NAV.FAULT_GPS, jnp.int32),
+        mode=jnp.full(n_lanes, NAV.MODE_FREEZE, jnp.int32),
+        k0=k0, k1=jnp.full(n_lanes, NAV._NEVER, jnp.int32),
+        delta=jnp.zeros(n_lanes))
+    st = st._replace(u=dict(st.u, avionics=av_u))
+
+    out = fleet.fleet_rollout(sim, st, n_steps=int(round(t_end / dt)))
+    y = jax.vmap(lambda s: sim.output(s, ()))(out)
+    alarms = out.s["avionics"]["mon_gps"]["alarm"]
+    h_err = jnp.abs(y.avionics["nav"]["h_est"]
+                    - y.vehicle.kinematics.h_e)
+    return {"faulted": faulted, "gps_alarm": alarms, "h_err_m": h_err,
+            "detection_correct": bool(jnp.all(alarms == faulted))}

@@ -325,3 +325,36 @@ def test_guided_loiter_on_estimates():
     nav = log.y.avionics["nav"]
     assert not np.asarray(nav["gps_alarm"]).any()
     assert not np.asarray(nav["baro_alarm"]).any()
+
+
+def test_baro_fault_alarm_and_reject(nav_rig):
+    """In-loop FDI, baro channel: a 60 m baro bias jump mid-flight must
+    latch the baro alarm (updates rejected — the filter stays
+    GPS-anchored, altitude estimate error bounded) while the GPS monitor
+    stays quiet."""
+    sim, state0, _ = nav_rig
+    from flightjax.physics import navigation as NAV
+
+    state = _engage_turning_climb(state0)
+    av_u = dict(state.u["avionics"])
+    fault = dict(NAV.no_fault(),
+                 channel=jnp.asarray(NAV.FAULT_BARO, jnp.int32),
+                 mode=jnp.asarray(NAV.MODE_BIAS, jnp.int32),
+                 k0=jnp.asarray(750, jnp.int32),     # 15 s in
+                 delta=jnp.asarray(60.0))
+    state = state._replace(u=dict(state.u,
+                                  avionics=dict(av_u, fault=fault)))
+    final, log = sim.run(state, t_end=30.0, save_every=5)
+    nav = log.y.avionics["nav"]
+    t = np.asarray(log.t)
+    b_alarms = np.asarray(nav["baro_alarm"])
+    assert not b_alarms[t < 15.0].any()
+    assert b_alarms[-1]
+    assert not np.asarray(nav["gps_alarm"]).any()
+    # altitude estimate stays GPS-anchored despite the 60 m baro lie
+    h_err = np.abs(np.asarray(nav["h_est"]) - np.asarray(
+        log.y.vehicle.kinematics.h_e))
+    assert h_err[t > 20.0].max() < 10.0, h_err[t > 20.0].max()
+    # and the aircraft keeps tracking
+    EAS = np.asarray(log.y.vehicle.airflow.EAS)
+    assert abs(EAS[-1] - 45.0) < 1.0
