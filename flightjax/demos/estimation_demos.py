@@ -16,6 +16,9 @@ attitude error under X deg" in one batched program.
 
     result = navigation_demo()          # single lane, ~1 min on CPU
     stats = fleet_navigation_study(64)  # 64-lane MC, a few minutes
+    joint = joint_navigation_study(32)  # turbulence x sensor grade,
+                                        # closed-loop on estimates
+    fdi = fdi_mission_demo()            # fleet fault-detection mission
 """
 
 import jax
