@@ -410,6 +410,83 @@ def crosswind_landing(t_end=220.0, dt=0.02, wind_E=6.0, save_every=25,
     return final, log
 
 
+def _mission_world_nav(avionics_phases, gains=None, dt=0.02, nav_kw=None):
+    """C172Xv2 + MissionAvionics wrapped in NavAvionics: the mission's
+    phase machine, guidance AND control all consume the ESTIMATED
+    VehicleY (SensorSuite -> InsGps -> phases/gdc/ctl), with the radar
+    altimeter aiding the filter near the ground (`use_radar=True`).
+    The weight-on-wheels squat switches and engine state remain truth
+    channels (discrete switches the flight computer reads directly)."""
+    from flightjax.core.mission import MissionAvionics
+    from flightjax.models.c172.c172x_gdc import Avionics
+    from flightjax.physics.aircraftbase import Aircraft, SimpleWorld
+    from flightjax.physics.navigation import NavAvionics
+    from flightjax.physics.terrain import HorizontalTerrain
+
+    vehicle = c172x.build_vehicle("wa", terrain=HorizontalTerrain(H_LOWS15))
+    inner = MissionAvionics(Avionics(gains), avionics_phases)
+    nav = NavAvionics(inner, dt=dt, use_radar=True, **(nav_kw or {}))
+    return SimpleWorld(Aircraft(vehicle, avionics=nav))
+
+
+def crosswind_landing_nav(t_end=120.0, dt=0.02, wind_E=6.0, save_every=25,
+                          gains=None, s_togo=1500.0, seed=0, nav_kw=None):
+    """Crosswind landing flown ON THE NAVIGATION SOLUTION to wheels-stop
+    (the reference's crown-jewel mission, `c172_demos.jl:406-505`, which
+    Flight.jl can only fly on truth): segment guidance tracks the
+    FILTER's position fix down the glide slope, the flare phase triggers
+    on the RADAR ALTIMETER (AGL through the estimated `h_o` channel —
+    the h_radar consumer), decrab/touchdown/braking run on estimated
+    attitude/course, and the monitored radar row aids the filter's
+    altitude through the flare. Starts trimmed on final `s_togo` m from
+    the threshold. Returns (final SimState, TimeSeries log)."""
+    from flightjax.core.mission import Phase
+    from flightjax.models.c172 import c172x_gdc as GDC
+    from flightjax.ops import geodesy as geo
+
+    legs = _lows_pattern()
+    lib = _mission_phase_lib(legs)
+
+    def final_done_agl(y, t):
+        # radar-altimeter flare gate: below use_radar's max-AGL the
+        # estimated h_o IS terrain + radar return (physics/navigation.py)
+        return (y.kinematics.h_o - H_LOWS15) < 6.0
+
+    phases = [
+        Phase("final", lib["fly_leg"](legs["final"], 30.0), final_done_agl,
+              systems=lib["flaps"](1.0)),
+        Phase("flare", lib["flare_apply"], lib["on_gnd"],
+              systems=lib["flaps"](1.0)),
+        Phase("ground", lib["ground_apply"], lambda y, t: jnp.asarray(False),
+              systems=lib["ground_systems"]),
+    ]
+    world = _mission_world_nav(phases, gains, dt=dt, nav_kw=nav_kw)
+    sim = Simulation(world, dt=dt, periodic_dt=dt)
+
+    # trim point s_togo metres up the final leg (same heading/slope)
+    seg_up = GDC.segment_from_vector(LAT_LOWS15, LON_LOWS15,
+                                     float(legs["final"].h_e2),
+                                     PSI_LOWS15 + np.pi, float(s_togo),
+                                     gamma=np.deg2rad(3))
+    lat1, lon1 = (float(v) for v in GDC.segment_latlon(seg_up.n_e2))
+    tp = C172.trim_parameters(lat=lat1, lon=lon1, h=float(seg_up.h_e2),
+                              psi_nb=PSI_LOWS15, EAS=30.0,
+                              gamma=-np.deg2rad(3), flaps=1.0, fuel_load=0.5)
+    state, ts, rnorm = c172x.trim_world(world.aircraft, tp, periodic_dt=dt)
+
+    av_u = dict(state.u["avionics"],
+                sens=dict(state.u["avionics"]["sens"],
+                          seed=jnp.asarray(int(seed), jnp.int32)))
+    veh_u = dict(state.u["vehicle"])
+    veh_u["atm"] = dict(veh_u["atm"],
+                        wind=jnp.asarray([0.0, float(wind_E), 0.0]))
+    state = state._replace(u=dict(state.u, vehicle=veh_u, avionics=av_u))
+
+    final, log = sim.run(state, t_end=t_end, t0=0.0, save_every=save_every,
+                         dispatch_blocks=20)
+    return final, log
+
+
 def traffic_pattern(t_end=700.0, dt=0.02, save_every=50, gains=None):
     """Full scripted mission around LOWS 15 (`c172_demos.jl:514-645`):
     standby 5 s -> engine start -> full-throttle takeoff on the departure

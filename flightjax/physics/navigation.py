@@ -7,9 +7,15 @@ IN the simulation step:
 
     truth (VehicleY) -> SensorSuite.measure -> [fault injection]
         -> InsGps (fused 15-state error-state EKF: attitude + velocity +
-           position + gyro/accel biases; GPS/baro/mag aiding)
-        -> innovation monitors (GPS / baro NIS, latched alarms)
-        -> estimated VehicleY -> inner avionics (ControlLaws/GuidanceLaws)
+           position + gyro/accel biases; GPS/baro/mag/radar aiding as
+           ONE stacked masked Joseph update per firing —
+           `InsGps.update_stacked`, the round-5 throughput move)
+        -> innovation monitors (GPS pos / GPS vel / baro / mag / radar
+           NIS, latched alarms gating their rows)
+        -> estimated VehicleY -> inner avionics (ControlLaws/GuidanceLaws
+           or a whole MissionAvionics phase machine — the landing/pattern
+           missions fly on this estimated Y, radar-altimeter flare
+           included)
 
     The fused filter (not the standalone Ahrs+Ins cascade) is deliberate:
     in a sustained turn, gravity-direction attitude aiding is biased by
@@ -29,19 +35,34 @@ closed loop vmaps over Monte Carlo fleets and shards over a device mesh
 exactly like the truth-fed aircraft (`parallel/fleet.py`).
 
 Fault handling (SURVEY §5 failure-detection theme): `u["fault"]`
-carries a per-lane fault spec with the same freeze / bias_jump / dropout
-semantics as the post-hoc `sensors.inject_fault`, applied at measure
-time through hold registers in the discrete state. The GPS and baro
-innovation NIS feed `estimation.innovation_monitor`s whose latched
-alarms gate the corresponding filter updates — the documented response
-is *reject-and-coast*: a detected GPS freeze stops position updates (the
-INS coasts on IMU + baro), a detected baro fault stops baro updates.
+carries a per-lane fault spec with the same freeze / bias_jump /
+dropout (+ round-5 ramp) semantics as the post-hoc
+`sensors.inject_fault` on the record index k = n-1, applied at measure
+time through hold registers in the discrete state, over channels
+FAULT_GPS (whole receiver), FAULT_GPS_VEL (velocity-only), FAULT_BARO
+and FAULT_MAG. Five innovation-NIS monitors (GPS position, GPS
+velocity, baro, mag direction, radar) latch alarms that gate their
+measurement rows — the documented response is *reject-and-coast*:
+either GPS monitor stops ALL GPS aiding (the INS coasts on IMU + the
+surviving rows), a baro/mag/radar alarm stops that row alone.
 
 Channels left as truth, deliberately: actuator positions/commands and
 engine speed (internal FBW / RPM-sensor states the flight computer knows
-essentially exactly), the weight-on-wheel squat switches, and the
-alpha/beta vane channels of the LQR feature vectors (the C172X carries
-no air-data boom; see `docs/notes/estimation.md`).
+essentially exactly), the weight-on-wheel squat switches, and — under
+the default `alpha_beta="truth"` policy — the alpha/beta vane channels
+of the LQR feature vectors (the C172X carries no air-data boom; see
+`docs/notes/estimation.md`). The truth alpha/beta approximation is now
+MEASURED rather than asserted: `alpha_beta="synthetic"` flies the
+cascade on filter-derived alpha (theta/gamma/bank form) and zero beta,
+and `alpha_beta=("perturb", da, db)` bounds vane-grade error
+sensitivity (`tests/test_navigation.py`).
+
+Ground-phase aiding policy (landing/pattern missions): nothing is
+gated on weight-on-wheels — GPS/baro/mag aiding continue unchanged
+through flare, touchdown and rollout (the sensor models stay valid on
+the ground), the radar row keeps aiding while its return is in range,
+and the no-false-alarm property through touchdown is test-enforced
+(`tests/test_missions.py::test_crosswind_landing_nav_to_wheels_stop`).
 
 Known approximations (documented, all far below the control bands):
 - the gyro estimate feeds both omega_eb_b and omega_wb_b (their true
@@ -67,16 +88,25 @@ from flightjax.physics.atmosphere import GAMMA, R_GAS, RHO_STD
 from flightjax.physics.sensors import (SensorData, SensorSuite,
                                        pressure_altitude, suite_params)
 from flightjax.utils.estimation import (InsGps, innovation_monitor,
-                                        masked_update, ned_from_geodetic,
-                                        nis)
+                                        ned_from_geodetic, nis)
 
 __all__ = ["NavAvionics", "NavY", "estimate_airspeed",
-           "FAULT_NONE", "FAULT_GPS", "FAULT_BARO",
-           "MODE_FREEZE", "MODE_BIAS", "MODE_DROPOUT", "no_fault"]
+           "FAULT_NONE", "FAULT_GPS", "FAULT_BARO", "FAULT_GPS_VEL",
+           "FAULT_MAG", "MODE_FREEZE", "MODE_BIAS", "MODE_DROPOUT",
+           "MODE_RAMP", "no_fault"]
 
-# fault spec enums (u["fault"]; same semantics as sensors.inject_fault)
-FAULT_NONE, FAULT_GPS, FAULT_BARO = 0, 1, 2
-MODE_FREEZE, MODE_BIAS, MODE_DROPOUT = 0, 1, 2
+# fault spec enums (u["fault"]; same semantics as sensors.inject_fault).
+# FAULT_GPS affects the whole receiver solution (freeze/dropout hit both
+# position and velocity — a stuck/denied receiver repeats/loses its whole
+# fix); its MODE_BIAS applies `delta` to the POSITION solution only.
+# FAULT_GPS_VEL expresses a velocity-channel-only fault (the real
+# receiver failure mode a position-only monitor misses — VERDICT r4 #3);
+# FAULT_MAG a magnetometer fault (MODE_BIAS = hard-iron jump of `delta`
+# on every body axis).
+FAULT_NONE, FAULT_GPS, FAULT_BARO, FAULT_GPS_VEL, FAULT_MAG = 0, 1, 2, 3, 4
+# MODE_RAMP: the channel drifts at `delta` per second from k0 (slow-onset
+# soft fault — the hardest case for an innovation gate)
+MODE_FREEZE, MODE_BIAS, MODE_DROPOUT, MODE_RAMP = 0, 1, 2, 3
 
 _NEVER = 2**31 - 1
 
@@ -88,11 +118,11 @@ _epoch_gates = contextvars.ContextVar("flightjax_nav_gates", default=None)
 
 @contextlib.contextmanager
 def epoch_gated(preds):
-    """Scope in which NavAvionics' monitored aiding blocks are
-    `lax.cond`-gated on fleet-level scalars: `preds` maps
-    {"gps"|"baro"|"mag"} to "some lane has this aiding epoch on this
-    step" (True = the full block must run; per-lane masks still apply,
-    so the gate is conservative and exact)."""
+    """Scope in which NavAvionics' monitored aiding work is
+    `lax.cond`-gated on fleet-level scalars: `preds` maps {"aid"} to
+    "some lane has SOME aiding epoch on this step" (True = the stacked
+    monitored-update block must run; per-lane/per-channel masks still
+    apply inside, so the gate is conservative and exact)."""
     token = _epoch_gates.set(preds or {})
     try:
         yield
@@ -135,10 +165,15 @@ class NavY(NamedTuple):
     b_a: jnp.ndarray        # (3,) accel bias estimate
     h_est: jnp.ndarray      # estimated ellipsoidal altitude
     EAS_est: jnp.ndarray
-    nis_gps: jnp.ndarray    # 3-DoF position-innovation NIS (valid epochs)
+    nis_gps: jnp.ndarray    # 3-DoF GPS position-innovation NIS
+    nis_gps_vel: jnp.ndarray  # 3-DoF GPS velocity-innovation NIS
     nis_baro: jnp.ndarray   # 1-DoF baro-innovation NIS
-    gps_alarm: jnp.ndarray  # latched FDI alarms
+    nis_mag: jnp.ndarray    # 3-DoF mag direction-innovation NIS
+    nis_radar: jnp.ndarray  # 1-DoF radar-altitude-innovation NIS
+    gps_alarm: jnp.ndarray  # latched FDI alarms (gps = pos | vel)
     baro_alarm: jnp.ndarray
+    mag_alarm: jnp.ndarray
+    radar_alarm: jnp.ndarray
     z: SensorData           # the (possibly faulted) measurement epoch
 
 
@@ -161,8 +196,11 @@ class NavAvionics:
 
     def __init__(self, inner, dt, gps_every=10, mag_every=5, baro_every=5,
                  params=None, use_estimates=True, gps_gate=16.27,
-                 baro_gate=10.83, monitor_window=6, monitor_min_hits=3,
-                 filter_kw=None):
+                 vel_gate=21.11, baro_gate=10.83, mag_gate=16.27,
+                 radar_gate=10.83,
+                 monitor_window=6, monitor_min_hits=3, filter_kw=None,
+                 use_radar=False, radar_every=None, radar_max_agl=150.0,
+                 alpha_beta="truth", geomag="dipole"):
         self.inner = inner
         self.dt = float(dt)
         self.use_estimates = bool(use_estimates)
@@ -170,12 +208,33 @@ class NavAvionics:
         # aiding rates: the gyro/accel PROPAGATION runs at the avionics
         # rate (50 Hz default); mag and baro AIDING run every mag_every /
         # baro_every epochs (10 Hz at the defaults — typical production
-        # rates). Each skipped epoch saves a full 15x15 Joseph update —
-        # at fleet scale these dominate the filter's device time
-        # (profiled: docs/notes/performance.md round 4) — and the skips
-        # ride the same fleet-level scalar lax.cond as the GPS block.
+        # rates). All same-firing aiding blocks collapse into ONE stacked
+        # Joseph update (`InsGps.update_stacked`) behind ONE fleet-level
+        # scalar lax.cond — each skipped/merged epoch saves a full 15x15
+        # Joseph sequence, which dominated the round-4 fleet profile
+        # (docs/notes/performance.md).
         self.mag_every = int(mag_every)
         self.baro_every = int(baro_every)
+        # radar-altimeter aiding (VERDICT r4: give h_radar a consumer):
+        # a monitored -dp_d row active below radar_max_agl when the
+        # return is in range; off by default (cruise workloads), on for
+        # ground-proximity missions (landing/pattern).
+        self.use_radar = bool(use_radar)
+        self.radar_every = int(baro_every if radar_every is None
+                               else radar_every)
+        self.radar_max_agl = float(radar_max_agl)
+        # alpha/beta source for the estimated VehicleY's LQR feature
+        # channels: "truth" (no air-data boom — the documented default),
+        # "synthetic" (theta/gamma/bank-derived alpha, zero beta — flies
+        # with NO truth airflow-angle channels), or ("perturb", da, db)
+        # (truth + vane-grade offsets; the sensitivity axis VERDICT r4
+        # #4 asks to measure).
+        self.alpha_beta = alpha_beta
+        # geomagnetic model for init_from_trim: "dipole" ties the field
+        # to the trim fix via `sensors.mag_field_dipole` (truth and
+        # filter get the SAME vector); "fixed" keeps the constructor/
+        # params field (the pre-round-5 behavior).
+        self.geomag = geomag
         p = params if params is not None else suite_params()
         self._params = p
 
@@ -200,10 +259,37 @@ class NavAvionics:
               "sigma_baro": max(_f(p["baro"], "sigma"), 1e-3) + 1.0}
         kw.update(filter_kw or {})
         self.filter = InsGps(dt=dt, **kw)
-        self._mon_init, self._mon_update = innovation_monitor(
-            gps_gate, window=monitor_window, min_hits=monitor_min_hits)
+        # per-epoch innovation gates double as OUTLIER REJECTION: an
+        # epoch whose channel NIS exceeds its gate never enters the
+        # filter (its stacked row is masked), so a faulted sensor cannot
+        # cross-contaminate healthy channels during the monitor's
+        # latch-up window (a 20 uT hard-iron jump used to yank attitude
+        # hard enough to trip the GPS-velocity monitor before the mag
+        # alarm latched). Recovery from over-rejection is automatic: a
+        # coasting channel's S grows with P until NIS re-enters the gate.
+        self.gps_gate = float(gps_gate)
+        # velocity gate at the 99.99% chi-square-3 quantile (vs 99.9%
+        # elsewhere): during engagement/maneuver transients the EKF's
+        # claimed velocity covariance runs briefly optimistic (tilt error
+        # rotates the specific force between GPS epochs), and at the
+        # 99.9% gate a ~5e-4 tail of fleet lanes false-latched the
+        # velocity monitor on the f32 chip path (measured round 5:
+        # 2/4096). A real velocity fault clears 21.11 within one extra
+        # epoch (tested: 1 m/s^2 ramp).
+        self.vel_gate = float(vel_gate)
+        self.baro_gate = float(baro_gate)
+        self.mag_gate = float(mag_gate)
+        self.radar_gate = float(radar_gate)
+        mk = dict(window=monitor_window, min_hits=monitor_min_hits)
+        self._mon_init, self._mon_update = innovation_monitor(gps_gate, **mk)
+        self._vmon_init, self._vmon_update = innovation_monitor(
+            vel_gate, **mk)
         self._bmon_init, self._bmon_update = innovation_monitor(
-            baro_gate, window=monitor_window, min_hits=monitor_min_hits)
+            baro_gate, **mk)
+        self._mmon_init, self._mmon_update = innovation_monitor(
+            mag_gate, **mk)
+        self._rmon_init, self._rmon_update = innovation_monitor(
+            radar_gate, **mk)
 
     # ------------------------------------------------------------- protocol
 
@@ -213,7 +299,9 @@ class NavAvionics:
                          "params": self._params},
                 "origin": {"lat0": jnp.asarray(0.0), "lon0": jnp.asarray(0.0),
                            "h0": jnp.asarray(0.0),
-                           "baro_datum": jnp.asarray(0.0)},
+                           "baro_datum": jnp.asarray(0.0),
+                           "N_geo": jnp.asarray(0.0),
+                           "B_n": self.filter.B_n},
                 "fault": no_fault()}
 
     def init_s(self):
@@ -221,9 +309,13 @@ class NavAvionics:
                 "sens": self.suite.init_s(),
                 "nav": self.filter.init(),
                 "hold": {"gps_p": jnp.zeros(3), "gps_v": jnp.zeros(3),
-                         "h_baro": jnp.asarray(0.0)},
-                "nis": {"gps": jnp.asarray(0.0), "baro": jnp.asarray(0.0)},
-                "mon_gps": self._mon_init(), "mon_baro": self._bmon_init()}
+                         "h_baro": jnp.asarray(0.0), "mag": jnp.zeros(3)},
+                "nis": {"gps": jnp.asarray(0.0), "gps_vel": jnp.asarray(0.0),
+                        "baro": jnp.asarray(0.0), "mag": jnp.asarray(0.0),
+                        "radar": jnp.asarray(0.0)},
+                "mon_gps": self._mon_init(), "mon_vel": self._vmon_init(),
+                "mon_baro": self._bmon_init(), "mon_mag": self._mmon_init(),
+                "mon_radar": self._rmon_init()}
 
     def assign(self, u_systems, av_y):
         return self.inner.assign(u_systems, av_y["inner"])
@@ -238,43 +330,69 @@ class NavAvionics:
                         "p_n": st.p_n, "v_n": st.v_n, "b_a": st.b_a,
                         "h_est": u["origin"]["h0"] - st.p_n[2],
                         "nis_gps": s["nis"]["gps"],
+                        "nis_gps_vel": s["nis"]["gps_vel"],
                         "nis_baro": s["nis"]["baro"],
-                        "gps_alarm": s["mon_gps"]["alarm"],
-                        "baro_alarm": s["mon_baro"]["alarm"]}}
+                        "nis_mag": s["nis"]["mag"],
+                        "nis_radar": s["nis"]["radar"],
+                        "gps_alarm": (s["mon_gps"]["alarm"]
+                                      | s["mon_vel"]["alarm"]),
+                        "baro_alarm": s["mon_baro"]["alarm"],
+                        "mag_alarm": s["mon_mag"]["alarm"],
+                        "radar_alarm": s["mon_radar"]["alarm"]}}
 
     # ----------------------------------------------------------- fault stage
 
-    def _apply_faults(self, fault, hold, n, p_gps, v_gps, gps_new, h_baro):
-        """In-loop fault injection on the NED-converted GPS solution and
-        the baro channel, with `sensors.inject_fault` semantics. Hold
-        registers capture the epoch-k0 values for freeze (register
-        updates while n <= k0, matching the post-hoc injector exactly)."""
+    def _apply_faults(self, fault, hold, n, p_gps, v_gps, gps_new, h_baro,
+                      mag_b):
+        """In-loop fault injection on the NED-converted GPS solution, the
+        baro channel and the magnetometer, with `sensors.inject_fault`
+        semantics on the RECORD index k = n - 1 (n is the post-f_step
+        epoch counter; a fault at k0 = K engages on the same epoch as
+        post-hoc `inject_fault(k0=K)` over the saved record). Hold
+        registers capture the epoch-k0 values for freeze.
+
+        Channel semantics: FAULT_GPS freeze/dropout affect the WHOLE
+        receiver solution (position + velocity / no solution at all),
+        while its bias/ramp modes displace the POSITION solution only;
+        FAULT_GPS_VEL expresses every mode on the velocity channel alone;
+        FAULT_MAG applies `delta` to every body axis (hard-iron jump)."""
         ch, mode = fault["channel"], fault["mode"]
-        active = (n >= fault["k0"])
-        in_win = active & (n < fault["k1"])
-        take = n <= fault["k0"]
+        k = n - 1
+        active = k >= fault["k0"]
+        in_win = active & (k < fault["k1"])
+        take = k <= fault["k0"]
+        dtp = jnp.result_type(p_gps)
+        ramp = fault["delta"] * self.dt * jnp.maximum(
+            k - fault["k0"], 0).astype(dtp)
 
         hold_gp = jnp.where(take, p_gps, hold["gps_p"])
         hold_gv = jnp.where(take, v_gps, hold["gps_v"])
         hold_hb = jnp.where(take, h_baro, hold["h_baro"])
+        hold_mg = jnp.where(take, mag_b, hold["mag"])
 
-        def faulted(z, held, channel_on):
-            frz = channel_on & active & (mode == MODE_FREEZE)
-            bia = channel_on & active & (mode == MODE_BIAS)
-            drp = channel_on & in_win & (mode == MODE_DROPOUT)
+        def faulted(z, held, frz_on, bias_on, drp_on):
+            frz = frz_on & active & (mode == MODE_FREEZE)
+            bia = bias_on & active & (mode == MODE_BIAS)
+            rmp = bias_on & active & (mode == MODE_RAMP)
+            drp = drp_on & in_win & (mode == MODE_DROPOUT)
             z = jnp.where(frz, held, z)
             z = jnp.where(bia, z + fault["delta"], z)
+            z = jnp.where(rmp, z + ramp, z)
             return jnp.where(drp, jnp.zeros_like(z), z)
 
         gps_on = ch == FAULT_GPS
+        vel_on = ch == FAULT_GPS_VEL
         baro_on = ch == FAULT_BARO
-        p_f = faulted(p_gps, hold_gp, gps_on)
-        v_f = faulted(v_gps, hold_gv, gps_on)
-        h_f = faulted(h_baro, hold_hb, baro_on)
+        mag_on = ch == FAULT_MAG
+        p_f = faulted(p_gps, hold_gp, gps_on, gps_on, jnp.asarray(False))
+        v_f = faulted(v_gps, hold_gv, gps_on | vel_on, vel_on, vel_on)
+        h_f = faulted(h_baro, hold_hb, baro_on, baro_on, baro_on)
+        m_f = faulted(mag_b, hold_mg, mag_on, mag_on, mag_on)
         # a dropped-out GPS stops producing solutions entirely
         gps_new = gps_new & ~(gps_on & in_win & (mode == MODE_DROPOUT))
-        return ({"gps_p": hold_gp, "gps_v": hold_gv, "h_baro": hold_hb},
-                p_f, v_f, gps_new, h_f)
+        return ({"gps_p": hold_gp, "gps_v": hold_gv, "h_baro": hold_hb,
+                 "mag": hold_mg},
+                p_f, v_f, gps_new, h_f, m_f)
 
     # ------------------------------------------------------------- main pass
 
@@ -286,34 +404,45 @@ class NavAvionics:
         _, s_sens = self.suite.f_step(None, u["sens"], s["sens"], 0.0)
         z = self.suite.measure(u["sens"], s_sens, kin, air, dyn, h_trn=h_trn)
 
-        # 2. GPS geodetic -> filter NED; faults on GPS/baro channels
+        # 2. GPS geodetic -> filter NED; faults on GPS/baro/mag channels
         p_gps = ned_from_geodetic(z.gps_lat, z.gps_lon, z.gps_h,
                                   org["lat0"], org["lon0"], org["h0"])
-        hold, p_gps, v_gps, gps_new, h_baro = self._apply_faults(
+        hold, p_gps, v_gps, gps_new, h_baro, mag_b = self._apply_faults(
             u["fault"], s["hold"], s_sens["n"], p_gps, z.gps_v_n,
-            z.gps_new, z.h_baro)
-        z = z._replace(gps_v_n=v_gps, gps_new=gps_new, h_baro=h_baro)
+            z.gps_new, z.h_baro, z.mag_b)
+        z = z._replace(gps_v_n=v_gps, gps_new=gps_new, h_baro=h_baro,
+                       mag_b=mag_b)
 
         # 3. fused INS/GPS error-state EKF: predict on the IMU epoch, then
-        # monitored GPS / baro updates (reject-and-coast FDI) + mag heading
+        # ONE stacked monitored update over every same-firing aiding block
+        # (GPS pos+vel / baro / mag / radar) with per-channel NIS monitors
+        # gating their rows (reject-and-coast FDI). The stacked form is
+        # the round-5 throughput move: it collapses what was up to four
+        # sequential 15x15 Joseph updates per firing into one
+        # (`InsGps.update_stacked`; docs/notes/performance.md round 5).
         st = self.filter.predict(s["nav"], z.omega_b, z.f_b)
 
-        def gps_block(op):
-            st, mon, p_g, v_g, new = op
-            y_gps = p_g - st.p_n
-            S_gps = st.P[6:9, 6:9] + self.filter.R_pos_eff(st.P.dtype)
-            nis_gps = nis(y_gps, S_gps)
-            mon2, alarm = self._mon_update(mon, nis_gps, valid=new)
-            st2 = self.filter.update_gps(st, p_g, v_g,
-                                         valid=new & ~alarm)
-            return st2, mon2, alarm, nis_gps
+        nrec = s_sens["n"]
+        baro_new = (nrec % self.baro_every) == 0
+        mag_new = (nrec % self.mag_every) == 0
+        h_meas = h_baro - org["baro_datum"]      # ~ ellipsoidal altitude
+        if self.use_radar:
+            # radar AGL mapped to ellipsoidal altitude through the
+            # terrain under the vehicle and the undulation captured at
+            # init; active only on in-range returns below radar_max_agl
+            h_radar_e = h_trn + z.h_radar + org["N_geo"]
+            radar_new = (((nrec % self.radar_every) == 0) & z.radar_valid
+                         & (z.h_radar <= self.radar_max_agl))
+        else:
+            h_radar_e = None
+            radar_new = jnp.asarray(False)
 
         from flightjax.core.modeling import match_vma
 
         gates = _epoch_gates.get() or {}
 
         def gated(gate, block, skip, operand):
-            """Fleet-level scalar lax.cond around an aiding block (the
+            """Fleet-level scalar lax.cond around the aiding block (the
             gear-gate pattern): inside vmap a per-lane mask runs both
             sides; the scalar cond genuinely skips. match_vma keeps the
             branch types legal under shard_map."""
@@ -325,40 +454,28 @@ class NavAvionics:
                 lambda op: match_vma(skip(op), op),
                 operand)
 
-        def mon_skip(op):
-            st, mon, *_ = op
-            return st, mon, mon["alarm"], jnp.zeros((), st.P.dtype)
+        mons = {"gps": s["mon_gps"], "vel": s["mon_vel"],
+                "baro": s["mon_baro"], "mag": s["mon_mag"],
+                "radar": s["mon_radar"]}
 
-        st, mon_gps, gps_alarm, nis_gps = gated(
-            gates.get("gps"), gps_block, mon_skip,
-            (st, s["mon_gps"], p_gps, v_gps, gps_new))
+        def aid_block(op):
+            with jax.default_matmul_precision("highest"):
+                return self._aid_block(op, org, h_radar_e is not None)
 
-        # baro aiding on baro_every epochs (monitored, reject-and-coast)
-        baro_new = (s_sens["n"] % self.baro_every) == 0
-        h_meas = h_baro - org["baro_datum"]      # ~ ellipsoidal altitude
+        def aid_skip(op):
+            st, mons, _ = op
+            zz = jnp.zeros((), st.P.dtype)
+            alarms = ((mons["gps"]["alarm"] | mons["vel"]["alarm"]),
+                      mons["baro"]["alarm"], mons["mag"]["alarm"],
+                      mons["radar"]["alarm"])
+            return st, mons, (zz, zz, zz, zz, zz), alarms
 
-        def baro_block(op):
-            st, mon, h_m, new = op
-            y_b = h_m - org["h0"] + st.p_n[2]
-            S_b = st.P[8, 8] + self.filter.R_baro[0, 0].astype(st.P.dtype)
-            nis_b = y_b * y_b / S_b
-            mon2, alarm = self._bmon_update(mon, nis_b, valid=new)
-            upd = self.filter.update_baro(st, h_m, org["h0"])
-            return masked_update(new & ~alarm, upd, st), mon2, alarm, nis_b
-
-        st, mon_baro, baro_alarm, nis_baro = gated(
-            gates.get("baro"), baro_block, mon_skip,
-            (st, s["mon_baro"], h_meas, baro_new))
-
-        # mag (heading) aiding on mag_every epochs
-        mag_new = (s_sens["n"] % self.mag_every) == 0
-
-        def mag_block(op):
-            st, m, new = op
-            return (masked_update(new, self.filter.update_mag(st, m), st),)
-
-        (st,) = gated(gates.get("mag"), mag_block, lambda op: (op[0],),
-                      (st, z.mag_b, mag_new))
+        st, mons, nises, alarms = gated(
+            gates.get("aid"), aid_block, aid_skip,
+            (st, mons, (p_gps, v_gps, gps_new, h_meas, mag_b, h_radar_e,
+                        baro_new, mag_new, radar_new)))
+        nis_pos, nis_vel, nis_bar, nis_mag, nis_rad = nises
+        gps_alarm, baro_alarm, mag_alarm, radar_alarm = alarms
         q_est = st.q_nb
 
         # 4. estimated VehicleY for the inner avionics
@@ -387,9 +504,18 @@ class NavAvionics:
             v_eb_n=v_n, h_e=h_est, chi_gnd=chi_est, gamma_gnd=gamma_est,
             lat=lat_est, lon=lon_est,
             n_e=geo.nvector_from_latlon(lat_est, lon_est))
+        # radar-informed AGL channel (the flare/ground missions read AGL
+        # as kin.h_o - terrain): terrain + radar return when the radar
+        # sees the ground, else the filter altitude through the
+        # undulation captured at init
+        h_o_est = jnp.where(z.radar_valid, h_trn + z.h_radar,
+                            h_est - org["N_geo"])
+        kin_est = kin_est._replace(h_o=h_o_est)
         air_est = air._replace(EAS=EAS_est, TAS=TAS_est, CAS=z.CAS,
                                p=z.p_s, T=z.T_oat)
-        y_est = veh_y._replace(kinematics=kin_est, airflow=air_est)
+        sys_est = self._systems_est(veh_y, q_est, v_n, TAS_est)
+        y_est = veh_y._replace(kinematics=kin_est, airflow=air_est,
+                               systems=sys_est)
 
         # 6. inner avionics on the selected source
         s_in, y_in = self.inner.f_periodic(
@@ -398,42 +524,155 @@ class NavAvionics:
 
         nav_y = NavY(q_nb=q_est, b_g=st.b_g, p_n=st.p_n, v_n=st.v_n,
                      b_a=st.b_a, h_est=h_est, EAS_est=EAS_est,
-                     nis_gps=nis_gps, nis_baro=nis_baro,
-                     gps_alarm=gps_alarm, baro_alarm=baro_alarm, z=z)
+                     nis_gps=nis_pos, nis_gps_vel=nis_vel,
+                     nis_baro=nis_bar, nis_mag=nis_mag, nis_radar=nis_rad,
+                     gps_alarm=gps_alarm, baro_alarm=baro_alarm,
+                     mag_alarm=mag_alarm, radar_alarm=radar_alarm, z=z)
         s_new = {"inner": s_in, "sens": s_sens, "nav": st,
                  "hold": hold,
-                 "nis": {"gps": jnp.where(gps_new, nis_gps, s["nis"]["gps"]),
-                         "baro": jnp.where(baro_new, nis_baro,
-                                           s["nis"]["baro"])},
-                 "mon_gps": mon_gps, "mon_baro": mon_baro}
+                 "nis": {"gps": jnp.where(gps_new, nis_pos, s["nis"]["gps"]),
+                         "gps_vel": jnp.where(gps_new, nis_vel,
+                                              s["nis"]["gps_vel"]),
+                         "baro": jnp.where(baro_new, nis_bar,
+                                           s["nis"]["baro"]),
+                         "mag": jnp.where(mag_new, nis_mag, s["nis"]["mag"]),
+                         "radar": jnp.where(radar_new, nis_rad,
+                                            s["nis"]["radar"])},
+                 "mon_gps": mons["gps"], "mon_vel": mons["vel"],
+                 "mon_baro": mons["baro"], "mon_mag": mons["mag"],
+                 "mon_radar": mons["radar"]}
         return s_new, {"inner": y_in, "nav": nav_y}
 
+    def _aid_block(self, op, org, with_radar):
+        """The stacked monitored aiding pass (runs under the fleet-level
+        'aid' gate and highest matmul precision). Per-channel NIS from
+        each block's own marginal innovation system AGAINST THE PRE-
+        UPDATE P (the monitors see exactly what the sequential path's
+        monitors saw), then one masked simultaneous Joseph update whose
+        rows are gated by epoch flags AND latched alarms
+        (reject-and-coast per channel)."""
+        st, mons, meas = op
+        (p_g, v_g, g_new, h_m, m_b, h_r_e, b_new, m_new, r_new) = meas
+        H, y, r = self.filter.stacked_rows(
+            st, p_g, v_g, h_m, org["h0"], m_b, B_n=org["B_n"],
+            h_radar_e=h_r_e)
+        # one (P Hᵀ, S) for everything: the per-channel NIS monitors read
+        # S's diagonal blocks (the marginal innovation systems), the
+        # masked update reuses the same products
+        PHt, S = self.filter.stacked_innovation(st, H, r)
+
+        def ch_nis(sl):
+            return nis(y[sl], S[sl, sl])
+
+        nis_pos = ch_nis(slice(0, 3))
+        nis_vel = ch_nis(slice(3, 6))
+        nis_bar = ch_nis(slice(6, 7))
+        nis_mag = ch_nis(slice(7, 10))
+        nis_rad = ch_nis(slice(10, 11)) if with_radar else \
+            jnp.zeros((), st.P.dtype)
+
+        mon_gps, a_pos = self._mon_update(mons["gps"], nis_pos, valid=g_new)
+        mon_vel, a_vel = self._vmon_update(mons["vel"], nis_vel, valid=g_new)
+        mon_bar, a_bar = self._bmon_update(mons["baro"], nis_bar,
+                                           valid=b_new)
+        mon_mag, a_mag = self._mmon_update(mons["mag"], nis_mag,
+                                           valid=m_new)
+        mon_rad, a_rad = self._rmon_update(mons["radar"], nis_rad,
+                                           valid=r_new)
+        a_gps = a_pos | a_vel      # either GPS channel alarms -> coast GPS
+        # row masks: epoch flag AND not latched AND this epoch's own NIS
+        # inside the gate (instant outlier rejection — see __init__)
+        mg = (g_new & ~a_gps & (nis_pos <= self.gps_gate)
+              & (nis_vel <= self.vel_gate))
+        mb = b_new & ~a_bar & (nis_bar <= self.baro_gate)
+        mm = m_new & ~a_mag & (nis_mag <= self.mag_gate)
+        rows = [mg, mg, mg, mg, mg, mg, mb, mm, mm, mm]
+        sizes = (3, 3, 1, 3)
+        if with_radar:
+            rows.append(r_new & ~a_rad & (nis_rad <= self.radar_gate))
+            sizes = (3, 3, 1, 3, 1)
+        st2 = self.filter.update_stacked(st, H, y, r, jnp.stack(rows),
+                                         PHt=PHt, S=S, sizes=sizes)
+        mons2 = {"gps": mon_gps, "vel": mon_vel, "baro": mon_bar,
+                 "mag": mon_mag, "radar": mon_rad}
+        return (st2, mons2, (nis_pos, nis_vel, nis_bar, nis_mag, nis_rad),
+                (a_gps, a_bar, a_mag, a_rad))
+
+    def _systems_est(self, veh_y, q_est, v_n, TAS_est):
+        """Systems output seen by the inner laws, per the alpha_beta
+        source policy (see __init__). "synthetic" derives alpha from the
+        filter attitude/velocity and the measured TAS
+        (alpha = (theta - gamma_air)/cos(phi), gamma_air from the
+        estimated sink rate over TAS — exact for steady wings-level
+        symmetric flight, approximate in turns) and flies beta = 0 (the
+        lateral laws regulate beta to zero in coordinated flight); the
+        cascade then consumes NO truth airflow-angle channels."""
+        if self.alpha_beta == "truth":
+            return veh_y.systems
+        aero = veh_y.systems.aero
+        if self.alpha_beta == "synthetic":
+            e_est = quat_to_euler(q_est)       # [psi, theta, phi]
+            theta, phi = e_est[..., 1], e_est[..., 2]
+            sin_ga = jnp.clip(-v_n[..., 2] / jnp.maximum(TAS_est, 10.0),
+                              -0.99, 0.99)
+            alpha_syn = ((theta - jnp.arcsin(sin_ga))
+                         / jnp.maximum(jnp.cos(phi), 0.5))
+            beta_syn = jnp.zeros_like(alpha_syn)
+            aero = aero._replace(alpha=alpha_syn, alpha_filt=alpha_syn,
+                                 beta=beta_syn, beta_filt=beta_syn)
+        else:
+            tag, da, db = self.alpha_beta
+            assert tag == "perturb", self.alpha_beta
+            aero = aero._replace(alpha=aero.alpha + da,
+                                 alpha_filt=aero.alpha_filt + da,
+                                 beta=aero.beta + db,
+                                 beta_filt=aero.beta_filt + db)
+        return veh_y.systems._replace(aero=aero)
+
     def epoch_preds(self, s_av):
-        """Fleet-level scalar predicates for `Simulation.fleet_step`:
-        per aiding channel, does ANY lane have an epoch on this step's
-        firing? Conservative — when True the full monitored block runs
-        with its per-lane masks; when False every lane's epoch flag is
-        False and the block is skipped exactly. Channels with every==1
-        are omitted (their gate would never skip). Returns None when
-        nothing is gateable."""
+        """Fleet-level scalar predicate for `Simulation.fleet_step`:
+        does ANY lane have ANY aiding epoch on this step's firing?
+        Conservative — when True the stacked monitored block runs with
+        its per-lane/per-channel masks; when False every lane's every
+        epoch flag is False and the block is skipped exactly. Returns
+        None when some channel aids every firing (the gate would never
+        skip)."""
+        everys = [self.suite.gps_every, self.baro_every, self.mag_every]
+        if self.use_radar:
+            everys.append(self.radar_every)
+        if min(everys) <= 1:
+            return None
         n1 = s_av["sens"]["n"] + 1
-        preds = {}
-        for name, every in (("gps", self.suite.gps_every),
-                            ("baro", self.baro_every),
-                            ("mag", self.mag_every)):
-            if every > 1:
-                preds[name] = jnp.any(n1 % every == 0)
-        return preds or None
+        hit = jnp.zeros_like(n1, dtype=bool)
+        for every in everys:
+            hit = hit | ((n1 % every) == 0)
+        return {"aid": jnp.any(hit)}
 
     # ----------------------------------------------------------------- init
 
-    def init_from_trim(self, veh_y, dt, seed=0, init_key=None):
+    def init_from_trim(self, veh_y, dt, seed=0, init_key=None,
+                       init_errors=None):
         """Trim-aligned startup: inner avionics bumpless start (on truth —
         at alignment the estimates ARE truth), filter origin at the trim
         fix, filter fine-aligned to the trim attitude/velocity, baro
         datum captured from the trim static pressure. With `init_key`,
         sensor turn-on biases / GM states draw at their catalog stds
-        (Monte Carlo lanes); without, they start at zero."""
+        (Monte Carlo lanes); without, they start at zero.
+
+        Geomagnetic field: with the default `geomag="dipole"` policy the
+        NED field is derived from the trim fix (`sensors.
+        mag_field_dipole`) and fed IDENTICALLY to the magnetometer truth
+        model (`u["sens"]["params"]["mag"]["B_n"]`) and the filter
+        (`u["origin"]["B_n"]`) — correct-by-default at any location
+        (VERDICT r4 #5).
+
+        `init_errors` degrades the alignment (VERDICT r4 #7 robustness
+        axis): a dict with any of `datt_n` ((3,) NED-frame attitude
+        error rotation vector [rad] — z is a heading error), `dp_n`
+        ((3,) position offset [m]), `dv_n` ((3,) velocity offset [m/s]).
+        The filter STARTS at the erroneous state with P0 widened to the
+        injected magnitudes, which is what keeps the first GPS/baro
+        innovations consistent (no false alarms during capture)."""
         assert abs(float(dt) - self.dt) < 1e-12, \
             f"NavAvionics(dt={self.dt}) vs periodic dt {dt}"
         u_in, s_in = self.inner.init_from_trim(veh_y, dt)
@@ -444,13 +683,41 @@ class NavAvionics:
 
         kin, air = veh_y.kinematics, veh_y.airflow
         p = self._params
+        if self.geomag == "dipole":
+            from flightjax.physics.sensors import mag_field_dipole
+            B_n = mag_field_dipole(kin.lat, kin.lon, kin.h_e)
+            p = dict(p, mag=dict(p["mag"],
+                                 B_n=jnp.asarray(B_n, p["mag"]["B_n"].dtype)))
+            u["sens"] = dict(u["sens"], params=p)
+        else:
+            B_n = self.filter.B_n
         datum = (pressure_altitude(air.p)
                  - pressure_altitude(p["baro"]["qnh"]) - kin.h_e)
         u["origin"] = {"lat0": kin.lat, "lon0": kin.lon, "h0": kin.h_e,
-                       "baro_datum": datum}
+                       "baro_datum": datum,
+                       "N_geo": kin.h_e - kin.h_o,
+                       "B_n": jnp.asarray(B_n)}
         s["sens"] = self.suite.init_s(u["sens"], init_key=init_key)
-        s["nav"] = self.filter.init(
-            q_nb=kin.q_nb, v_n=kin.v_eb_n,
+
+        q0, v0, p0 = kin.q_nb, kin.v_eb_n, jnp.zeros(3)
+        init_kw = dict(
             bg_std=float(jnp.asarray(p["imu"]["bias0_gyro"])) + 1e-4,
             ba_std=float(jnp.asarray(p["imu"]["bias0_accel"])) + 1e-3)
+        if init_errors:
+            from flightjax.ops.attitude import rvec_to_quat
+            from flightjax.ops.quaternions import qmul, qnormalize
+            e = dict(init_errors)
+            rv = jnp.asarray(e.pop("datt_n", (0.0, 0.0, 0.0)), float)
+            dp = jnp.asarray(e.pop("dp_n", (0.0, 0.0, 0.0)), float)
+            dv = jnp.asarray(e.pop("dv_n", (0.0, 0.0, 0.0)), float)
+            assert not e, f"unknown init_errors keys {sorted(e)}"
+            # NED-frame error composes on the LEFT of q_nb
+            q0 = qnormalize(qmul(rvec_to_quat(rv), q0))
+            p0 = p0 + dp
+            v0 = v0 + dv
+            init_kw.update(
+                att_std=max(0.05, float(jnp.linalg.norm(rv))),
+                pos_std=max(3.0, float(jnp.linalg.norm(dp))),
+                vel_std=max(0.2, float(jnp.linalg.norm(dv))))
+        s["nav"] = self.filter.init(q_nb=q0, v_n=v0, p_n=p0, **init_kw)
         return u, s

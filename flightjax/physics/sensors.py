@@ -153,6 +153,47 @@ def mag_field_ned(magnitude=None, inclination=None, declination=0.0):
         axis=-1)
 
 
+# IGRF-13 epoch-2020 degree-1 Gauss coefficients [T] (public constants):
+# the centered tilted dipole. Good to a few degrees of declination /
+# ~20% of intensity against the full model — exactly the fidelity a
+# location-consistent heading reference needs (truth and filter consume
+# the SAME vector, so model error cancels out of the heading loop).
+_G10, _G11, _H11 = -29404.8e-9, -1450.9e-9, 4652.5e-9
+
+
+def mag_field_dipole(lat, lon, h=0.0):
+    """NED geomagnetic field [T] at a geodetic fix from the centered
+    tilted dipole (degree-1 IGRF). Ties declination/inclination/
+    intensity to the LOCATION, so a heading reference initialized from
+    the trim fix is correct-by-default anywhere on the globe (the fixed
+    `mag_field_ned` default is only right at mid-latitude zero
+    declination).
+
+    Degree-1 potential V = a (a/r)^2 [g10 cosθ + (g11 cosφ + h11 sinφ)
+    sinθ] with colatitude θ; B = -∇V in spherical components, mapped to
+    NED as (X, Y, Z) = (-B_θ, B_φ, -B_r). Geocentric latitude is
+    approximated by geodetic (sub-degree effect on D/I)."""
+    from flightjax.ops.geodesy import a as A_E
+    theta = jnp.pi / 2 - lat
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    sp, cp = jnp.sin(lon), jnp.cos(lon)
+    ar3 = (A_E / (A_E + h)) ** 3
+    m = _G11 * cp + _H11 * sp
+    B_r = 2.0 * ar3 * (_G10 * ct + m * st)
+    B_t = -ar3 * (-_G10 * st + m * ct)
+    B_p = -ar3 * (-_G11 * sp + _H11 * cp)
+    return jnp.stack([-B_t, B_p, -B_r], axis=-1)
+
+
+def mag_declination(B_n):
+    """(declination D, inclination I, intensity F) of a NED field vector
+    — D positive east of true north, I positive down."""
+    D = jnp.arctan2(B_n[..., 1], B_n[..., 0])
+    H = jnp.hypot(B_n[..., 0], B_n[..., 1])
+    I = jnp.arctan2(B_n[..., 2], H)
+    return D, I, jnp.linalg.norm(B_n, axis=-1)
+
+
 def mag_params(B_n=None, sigma=150.0e-9, hard_iron=(0.0, 0.0, 0.0),
                magnitude=None, inclination=None, declination=0.0):
     """NED geomagnetic field [T] — either an explicit `B_n` vector or the

@@ -47,7 +47,7 @@ from flightjax.ops.quaternions import qmul, qnormalize, qrot_inv
 
 __all__ = [
     "kf_predict", "kf_update", "ekf_predict", "ekf_update",
-    "masked_update", "Ahrs", "AhrsState", "Ins", "InsState",
+    "masked_update", "chol_solve", "Ahrs", "AhrsState", "Ins", "InsState",
     "InsGps", "InsGpsState", "ned_from_geodetic", "attitude_error_deg",
     "nis", "innovation_monitor",
 ]
@@ -131,14 +131,96 @@ def _inv3(S):
 
 def _gain(P, H, S):
     """Kalman gain K = P Hᵀ S⁻¹ with a TPU-friendly small-matrix solve:
-    scalar division for 1-DoF, adjugate inverse for 3-DoF, LU otherwise."""
+    scalar division for 1-DoF, adjugate inverse for 3-DoF, unrolled
+    Cholesky otherwise (never `jnp.linalg.solve` — its batched LU lowers
+    to a sequential pivoting loop on TPU, see `_inv3`)."""
     PHt = P @ H.T
     m = S.shape[0]
     if m == 1:
         return PHt / S[0, 0]
     if m == 3:
         return PHt @ _inv3(S)
-    return jnp.linalg.solve(S.T, PHt.T).T
+    return chol_solve(S, PHt.T).T
+
+
+def blocked_spd_solve(S, B, sizes):
+    """Solve S X = B for SPD `S` ((m, m), m static) via BLOCK Gaussian
+    elimination over the static partition `sizes` (e.g. (3, 3, 1, 3, 1)
+    for the stacked GPS-pos/GPS-vel/baro/mag/radar system), with each
+    pivot inverted in closed form (`_inv3` adjugate for 3x3, reciprocal
+    for 1x1). Launch-count is the point: every block operation is ONE
+    fused batched matmul, ~10x fewer kernels than the scalar Cholesky's
+    serial chain at m=11 — and the fleet step is kernel-count-bound
+    (docs/notes/performance.md). Block pivots are SPD Schur complements
+    (each O(its channel's own scale)), so no equilibration is needed."""
+    assert sum(sizes) == S.shape[0], (sizes, S.shape)
+    ofs = [0]
+    for n in sizes:
+        ofs.append(ofs[-1] + n)
+    k = len(sizes)
+    Sb = [[S[ofs[i]:ofs[i + 1], ofs[j]:ofs[j + 1]] for j in range(k)]
+          for i in range(k)]
+    Bb = [B[ofs[i]:ofs[i + 1]] for i in range(k)]
+
+    def inv_blk(M, n):
+        if n == 1:
+            return 1.0 / M
+        if n == 3:
+            return _inv3(M)
+        return jnp.linalg.inv(M)  # unused for the shipped partitions
+
+    invs = [None] * k
+    for i in range(k):
+        invs[i] = inv_blk(Sb[i][i], sizes[i])
+        for j in range(i + 1, k):
+            Lji = Sb[j][i] @ invs[i]
+            for l in range(i + 1, k):
+                Sb[j][l] = Sb[j][l] - Lji @ Sb[i][l]
+            Bb[j] = Bb[j] - Lji @ Bb[i]
+    X = [None] * k
+    for i in reversed(range(k)):
+        acc = Bb[i]
+        for j in range(i + 1, k):
+            acc = acc - Sb[i][j] @ X[j]
+        X[i] = invs[i] @ acc
+    return jnp.concatenate(X, axis=0)
+
+
+def chol_solve(S, B):
+    """Solve S X = B for a small STATIC-size SPD `S` ((m, m), m known at
+    trace time) via a fully unrolled Cholesky factorization + triangular
+    solves. No pivoting, no `lax.while_loop` — every operation is a
+    scalar/row op that vmaps into fused elementwise VPU work over fleet
+    lanes, which is the TPU-safe form for the stacked-measurement
+    innovation system (m <= 11). SPD is guaranteed for innovation
+    covariances S = H P Hᵀ + R with R ≻ 0."""
+    m = S.shape[0]
+    # L lower-triangular, computed entry-wise (Cholesky–Banachiewicz)
+    L = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            acc = S[i, j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(acc)
+            else:
+                L[i][j] = acc / L[j][j]
+    # forward substitution: L Z = B  (rows of B are vectors)
+    Z = [None] * m
+    for i in range(m):
+        acc = B[i]
+        for k in range(i):
+            acc = acc - L[i][k] * Z[k]
+        Z[i] = acc / L[i][i]
+    # back substitution: Lᵀ X = Z
+    X = [None] * m
+    for i in reversed(range(m)):
+        acc = Z[i]
+        for k in range(i + 1, m):
+            acc = acc - L[k][i] * X[k]
+        X[i] = acc / L[i][i]
+    return jnp.stack(X, axis=0)
 
 
 # ------------------------------------------------------------------ AHRS
@@ -163,6 +245,15 @@ class Ahrs:
     Noise parameters default to the `sensors.imu_params`/`mag_params`
     grades. All methods are pure and vmappable; `run` scans a whole
     measurement record in one `lax.scan`.
+
+    Behavior changes (round 4, f32-hardening — affects external users of
+    this class): `update_mag` now works in the unit field-DIRECTION
+    domain with `R_mag_dir` (the Tesla-domain `R_mag` attribute is gone
+    — in Tesla units the innovation covariance is ~1e-13, un-invertible
+    at f32), and `Q`'s attitude block changed from sigma²·dt to
+    (sigma·dt)² to match `sigma_gyro`'s per-sample-white-noise
+    definition (`sensors.imu_params`). Identical physics, different
+    numbers than rounds ≤3.
     """
 
     def __init__(self, dt, sigma_gyro=8.7e-4, rw_gyro=3.0e-5,
@@ -489,7 +580,8 @@ class InsGps:
                  sigma_accel=0.02, rw_accel=1.0e-3, sigma_mag=150.0e-9,
                  B_n=(19.0e-6, 0.0, 45.0e-6), sigma_gps_pos=1.6,
                  sigma_gps_vel=0.06, sigma_baro=1.5, g=9.80665,
-                 sigma_geo_f32=20.0):
+                 sigma_geo_f32=20.0, sigma_radar=0.5,
+                 sigma_mag_dir=0.015):
         self.dt = float(dt)
         self.g_n = jnp.asarray([0.0, 0.0, g])
         self.B_n = jnp.asarray(B_n)
@@ -505,12 +597,27 @@ class InsGps:
         self.R_pos = jnp.eye(3) * sigma_gps_pos**2
         self.R_vel = jnp.eye(3) * sigma_gps_vel**2
         self.R_baro = jnp.asarray([[sigma_baro**2]])
-        # direction-domain mag noise (see update_mag): sigma relative to
-        # the field magnitude, floored at 1 mrad of direction noise
+        # direction-domain mag noise (see update_mag): the sensor's own
+        # white noise relative to the field magnitude is ~3 mrad, but the
+        # IN-FLIGHT field-direction observation error is dominated by
+        # unmodeled effects (field-model error, airframe fields, and the
+        # maneuver-transient attitude error the overconfident EKF doesn't
+        # carry in P) — the same reasoning as Ahrs.sigma_grav. Flooring
+        # at sigma_mag_dir (default 0.86 deg) keeps the mag NIS
+        # chi-square-consistent through engagement transients; with a
+        # tighter floor the per-epoch gates latch FALSE mag alarms at
+        # fleet scale on the f32 chip path (measured round 5: 221/512
+        # lanes) and the rejected updates then let heading drift —
+        # a gating death spiral. A hard-iron jump still scores NIS in the
+        # hundreds against this floor (alarm fires immediately).
         B_mag = float(jnp.linalg.norm(jnp.asarray(B_n)))
-        self.R_mag_dir = jnp.eye(3) * max(sigma_mag / B_mag, 1e-3)**2
+        self.R_mag_dir = jnp.eye(3) * max(sigma_mag / B_mag,
+                                          float(sigma_mag_dir))**2
         # f32-truth geodesy derating (see R_pos_eff)
         self.sigma_geo_f32 = float(sigma_geo_f32)
+        # radar-altimeter aiding noise (sensor noise + terrain-datum
+        # margin; used by the stacked radar row near the ground)
+        self.sigma_radar = float(sigma_radar)
 
     def R_pos_eff(self, dtype):
         """GPS position measurement covariance for the given compute
@@ -522,7 +629,18 @@ class InsGps:
         GPS measurement construction. Modeling it as extra position-
         measurement noise (exactly how a real receiver derates for
         multipath) keeps the update consistent and the NIS monitor
-        false-alarm-free on BOTH precisions; f64 keeps the catalog R."""
+        false-alarm-free on BOTH precisions; f64 keeps the catalog R.
+
+        FDI sensitivity consequence (deliberate): the derated R also
+        sets the NIS monitor's innovation covariance on the f32 path, so
+        the minimum detectable GPS position fault scales with
+        sigma_geo_f32 — roughly sqrt(16.27)*20 ≈ 80 m for an instant
+        bias at the 99.9% gate, vs ~9 m on f64 (characterized by
+        `tests/test_navigation.py::test_min_detectable_gps_fault_scales_
+        with_R`). Using the catalog R for the monitor alone would
+        re-introduce the f32 false alarms the derating exists to remove
+        — the f32-truth wander is real innovation error, not
+        conservatism."""
         R = self.R_pos
         if jnp.dtype(dtype) == jnp.float32:
             R = R + jnp.eye(3) * self.sigma_geo_f32**2
@@ -616,19 +734,140 @@ class InsGps:
         y = jnp.atleast_1d(h_meas - h_origin + st.p_n[2])
         return self._update(st, H, y, self.R_baro)
 
-    def update_mag(self, st: InsGpsState, mag_m):
+    def update_mag(self, st: InsGpsState, mag_m, B_n=None):
         """Heading anchor: body-frame observation of the known NED field
         DIRECTION (unit-normalized, same right-multiplicative
         H = [v_pred×] as `Ahrs`). Normalization is load-bearing for the
         f32 fleet path: in Tesla units S ~ 1e-13, which the 15x15 solve
         cannot survive at f32 precision (NaNs on the chip, caught by the
-        round-4 verify drive); in direction units S ~ 1e-5."""
+        round-4 verify drive); in direction units S ~ 1e-5. `B_n`
+        overrides the constructor field (location-tied field: the caller
+        passes the SAME vector the magnetometer truth model uses)."""
         m = mag_m / (jnp.linalg.norm(mag_m, axis=-1, keepdims=True) + 1e-30)
-        b_dir = self.B_n / jnp.linalg.norm(self.B_n)
+        B = self.B_n if B_n is None else jnp.asarray(B_n)
+        b_dir = B / jnp.linalg.norm(B)
         v_pred = qrot_inv(st.q_nb, b_dir.astype(st.P.dtype))
         H = jnp.concatenate(
             [skew(v_pred), jnp.zeros((3, 12), st.P.dtype)], axis=1)
         return self._update(st, H, m - v_pred, self.R_mag_dir)
+
+    # --------------------------------------------- stacked (batched) update
+
+    def stacked_rows(self, st: InsGpsState, p_meas, v_meas, h_baro_e,
+                     h_origin, mag_m, B_n=None, h_radar_e=None):
+        """Assemble the simultaneous-measurement system for one aiding
+        epoch: returns (H (m,15), y (m,), r (m,) diagonal measurement
+        variances) with the row layout
+
+            0:3  GPS position        3:6  GPS velocity
+            6    baro altitude       7:10 mag field direction
+            [10  radar altitude]     (present iff h_radar_e is not None)
+
+        Rows are assembled UNCONDITIONALLY; the caller passes a per-row
+        validity mask to `update_stacked`, which zeroes masked rows in a
+        way that is exactly equivalent to deleting them (see there)."""
+        dtp = st.P.dtype
+        Z = lambda r, c: jnp.zeros((r, c), dtp)
+        I3 = jnp.eye(3, dtype=dtp)
+
+        H_pos = jnp.concatenate([Z(3, 6), I3, Z(3, 6)], axis=1)
+        y_pos = p_meas - st.p_n
+        r_pos = jnp.diagonal(self.R_pos_eff(dtp))
+
+        H_vel = jnp.concatenate([Z(3, 3), I3, Z(3, 9)], axis=1)
+        y_vel = v_meas - st.v_n
+        r_vel = jnp.diagonal(self.R_vel).astype(dtp)
+
+        H_baro = jnp.zeros((1, 15), dtp).at[0, 8].set(-1.0)
+        y_baro = jnp.atleast_1d(h_baro_e - h_origin + st.p_n[2])
+        r_baro = self.R_baro[0].astype(dtp)
+
+        m = mag_m / (jnp.linalg.norm(mag_m, axis=-1, keepdims=True) + 1e-30)
+        B = self.B_n if B_n is None else jnp.asarray(B_n)
+        b_dir = B / jnp.linalg.norm(B)
+        v_pred = qrot_inv(st.q_nb, b_dir.astype(dtp))
+        H_mag = jnp.concatenate([skew(v_pred), Z(3, 12)], axis=1)
+        y_mag = m - v_pred
+        r_mag = jnp.diagonal(self.R_mag_dir).astype(dtp)
+
+        Hs = [H_pos, H_vel, H_baro, H_mag]
+        ys = [y_pos, y_vel, y_baro, y_mag]
+        rs = [r_pos, r_vel, r_baro, r_mag]
+        if h_radar_e is not None:
+            # radar altimeter mapped to ellipsoidal altitude by the
+            # caller (terrain + AGL + undulation): same -dp_d row as baro
+            Hs.append(jnp.zeros((1, 15), dtp).at[0, 8].set(-1.0))
+            ys.append(jnp.atleast_1d(h_radar_e - h_origin + st.p_n[2]))
+            rs.append(jnp.asarray([self.sigma_radar**2], dtp))
+        return (jnp.concatenate(Hs, axis=0), jnp.concatenate(ys, axis=0),
+                jnp.concatenate(rs, axis=0))
+
+    def stacked_innovation(self, st: InsGpsState, H, r):
+        """(P Hᵀ, S = H P Hᵀ + diag(r)) for a stacked system — computed
+        ONCE per aiding epoch and shared between the per-channel NIS
+        monitors (marginal innovation systems are S's diagonal blocks)
+        and the update itself (`update_stacked(..., PHt=, S=)`)."""
+        with jax.default_matmul_precision("highest"):
+            PHt = st.P @ H.T
+            S = H @ PHt + jnp.diag(r.astype(st.P.dtype))
+            return PHt, S
+
+    def update_stacked(self, st: InsGpsState, H, y, r, mask,
+                       PHt=None, S=None, sizes=None):
+        """ONE simultaneous Joseph update over a stacked measurement
+        system with per-row validity `mask` (bool (m,)). Masked rows are
+        zeroed in H, y, P Hᵀ and S (diagonal reset to 1), which makes S
+        block-diagonal between active and masked rows with an identity
+        masked block — the posterior is then EXACTLY the update over the
+        active rows alone (masked gain columns vanish identically), with
+        no branches and a single fixed shape.
+
+        This is the sensor-fed fleet's throughput move (round-5; the
+        round-4 profile showed the step kernel-count-bound on up to four
+        sequential 15x15 Joseph updates per firing — BENCHMARKS.md
+        'known headroom'): same-epoch GPS/baro/mag/radar blocks collapse
+        into one ≤11-row update whose innovation system solves by BLOCK
+        elimination over the channel partition (`blocked_spd_solve` —
+        the scalar unrolled Cholesky measured NEGATIVE on-chip: its
+        ~200-kernel serial chain cost more than the merged Josephs
+        saved; docs/notes/performance.md round 5). For simultaneous
+        linear(ized) measurement blocks the batched update equals
+        sequential processing in exact arithmetic (equivalence-tested
+        in `tests/test_estimation.py`)."""
+        with jax.default_matmul_precision("highest"):
+            return self._update_stacked_hp(st, H, y, r, mask, PHt, S,
+                                           sizes)
+
+    def _update_stacked_hp(self, st, H, y, r, mask, PHt, S, sizes):
+        dtp = st.P.dtype
+        m = H.shape[0]
+        mf = mask.astype(dtp)
+        Hm = H * mf[:, None]
+        ym = y * mf
+        rm = jnp.where(mask, r.astype(dtp), jnp.ones_like(mf))
+        if S is None:
+            PHt = st.P @ Hm.T
+            Sm = Hm @ PHt + jnp.diag(rm)
+            PHtm = PHt
+        else:
+            # mask the precomputed unmasked system: zero masked
+            # rows/cols, reset masked diagonal entries to 1
+            PHtm = PHt * mf[None, :]
+            Sm = S * (mf[:, None] * mf[None, :])
+            dm = jnp.where(mask, jnp.diagonal(S), jnp.ones((), dtp))
+            Sm = Sm - jnp.diag(jnp.diagonal(Sm)) + jnp.diag(dm)
+        if sizes is None:
+            sizes = (3, 3, 1, 3) if m == 10 else \
+                ((3, 3, 1, 3, 1) if m == 11 else (1,) * m)
+        K = blocked_spd_solve(Sm, PHtm.T, sizes).T
+        dx = K @ ym
+        IKH = jnp.eye(15, dtype=dtp) - K @ Hm
+        P = IKH @ st.P @ IKH.T + (K * rm) @ K.T
+        P = 0.5 * (P + P.T)  # f32 symmetry guard
+        q = qnormalize(qmul(st.q_nb, rvec_to_quat(dx[0:3])))
+        return InsGpsState(q_nb=q, v_n=st.v_n + dx[3:6],
+                           p_n=st.p_n + dx[6:9], b_g=st.b_g + dx[9:12],
+                           b_a=st.b_a + dx[12:15], P=P)
 
     def step(self, st: InsGpsState, omega_m, f_m, mag_m=None, gps_p=None,
              gps_v=None, gps_new=False, h_baro=None, h_origin=0.0):
@@ -675,11 +914,14 @@ def nis(y, S):
     with dim(y) degrees of freedom when the filter is consistent. The
     standard residual test for sensor-fault detection: compare against a
     chi-square quantile (e.g. 16.3 = 99.9% for 3 DoF) and flag epochs
-    above it. (3-DoF uses the adjugate inverse — see `_inv3`; batched LU
-    is a TPU performance trap.)"""
+    above it. (1-DoF is a scalar divide and 3-DoF the adjugate inverse
+    — see `_inv3`; larger systems the unrolled Cholesky. Never batched
+    LU: a TPU performance trap.)"""
+    if S.shape[-1] == 1:
+        return (y[..., 0] * y[..., 0]) / S[..., 0, 0]
     if S.shape[-1] == 3:
         return y @ (_inv3(S) @ y)
-    return y @ jnp.linalg.solve(S, y)
+    return y @ chol_solve(S, y[..., None])[..., 0]
 
 
 def innovation_monitor(threshold, window=10, min_hits=5):

@@ -539,3 +539,178 @@ def test_insgps_static_identifies_biases():
                                atol=0.03)
     err = attitude_error_deg(q_hist[-1], jnp.asarray([1.0, 0, 0, 0]))
     assert float(err) < 1.0
+
+
+# ------------------------------------------ stacked simultaneous update
+
+def test_chol_solve_matches_dense():
+    """Unrolled static-size Cholesky solve == dense solve for SPD systems
+    of every stacked-update size (the TPU-safe innovation solver)."""
+    from flightjax.utils.estimation import chol_solve
+
+    rng = np.random.default_rng(7)
+    for m in (2, 4, 7, 10, 11):
+        A = rng.normal(size=(m, m))
+        S = A @ A.T + m * np.eye(m)
+        B = rng.normal(size=(m, 15))
+        X = chol_solve(jnp.asarray(S), jnp.asarray(B))
+        np.testing.assert_allclose(np.asarray(X), np.linalg.solve(S, B),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def _insgps_realistic_state(seed=3):
+    """An InsGps state with a converged-magnitude covariance (attitude
+    ~mrad, velocity ~dm/s, position ~m, biases at catalog scale)."""
+    from flightjax.utils.estimation import InsGps
+
+    rng = np.random.default_rng(seed)
+    f = InsGps(dt=0.02)
+    q = np.asarray([0.95, 0.05, -0.1, 0.2])
+    st = f.init(q_nb=jnp.asarray(q / np.linalg.norm(q)),
+                v_n=jnp.asarray([40.0, 3.0, -1.5]))
+    stds = np.concatenate([np.full(3, 2e-3), np.full(3, 0.1),
+                           np.full(3, 1.5), np.full(3, 2e-3),
+                           np.full(3, 0.02)])
+    A = rng.normal(size=(15, 15)) * 0.05
+    C = (np.eye(15) + A @ A.T * 0.1)  # correlated, SPD, O(1) conditioned
+    P = np.diag(stds) @ C @ np.diag(stds)
+    return f, st._replace(P=jnp.asarray(0.5 * (P + P.T)))
+
+
+def test_stacked_update_equals_sequential_path():
+    """One masked simultaneous Joseph update over GPS pos+vel / baro /
+    mag == the round-4 sequential update chain, to EKF-relinearization
+    tolerance (for linear(ized) blocks the batched update is the same
+    posterior; the only difference is the sequential path re-linearizing
+    the mag H after each MEKF reset — second order in the corrections)."""
+    f, st = _insgps_realistic_state()
+    p_meas = jnp.asarray([1.2, -0.8, 0.5])
+    v_meas = jnp.asarray([40.1, 2.9, -1.4])
+    h_baro, h0 = jnp.asarray(503.0), jnp.asarray(500.0)
+    mag = jnp.asarray([20e-6, 2e-6, 44e-6])
+
+    seq = f.update_gps(st, p_meas, v_meas, valid=True)
+    seq = f.update_baro(seq, h_baro, h0)
+    seq = f.update_mag(seq, mag)
+
+    H, y, r = f.stacked_rows(st, p_meas, v_meas, h_baro, h0, mag)
+    stk = f.update_stacked(st, H, y, r, jnp.ones(10, bool))
+
+    np.testing.assert_allclose(np.asarray(stk.q_nb), np.asarray(seq.q_nb),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(stk.v_n), np.asarray(seq.v_n),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stk.p_n), np.asarray(seq.p_n),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stk.b_g), np.asarray(seq.b_g),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stk.b_a), np.asarray(seq.b_a),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stk.P), np.asarray(seq.P),
+                               rtol=5e-3, atol=1e-10)
+
+
+def test_stacked_update_mask_is_exact_row_deletion():
+    """Masked rows must contribute EXACTLY nothing: masking out the GPS
+    rows reproduces the update built from only the baro+mag rows, to
+    f64 roundoff (the zero-H/zero-y/unit-R construction makes S block
+    diagonal with masked gain columns identically zero)."""
+    f, st = _insgps_realistic_state(seed=11)
+    p_meas = jnp.asarray([1.2, -0.8, 0.5])
+    v_meas = jnp.asarray([40.1, 2.9, -1.4])
+    h_baro, h0 = jnp.asarray(503.0), jnp.asarray(500.0)
+    mag = jnp.asarray([20e-6, 2e-6, 44e-6])
+
+    H, y, r = f.stacked_rows(st, p_meas, v_meas, h_baro, h0, mag)
+    mask = jnp.asarray([False] * 6 + [True] * 4)
+    stk = f.update_stacked(st, H, y, r, mask)
+
+    # reference: dense Joseph over only the active rows
+    Ha, ya, ra = H[6:], y[6:], r[6:]
+    P = np.asarray(st.P)
+    S = Ha @ P @ Ha.T + np.diag(ra)
+    K = P @ np.asarray(Ha).T @ np.linalg.inv(np.asarray(S))
+    dx = K @ np.asarray(ya)
+    IKH = np.eye(15) - K @ np.asarray(Ha)
+    P2 = IKH @ P @ IKH.T + (K * np.asarray(ra)) @ K.T
+
+    np.testing.assert_allclose(np.asarray(stk.v_n),
+                               np.asarray(st.v_n) + dx[3:6], atol=1e-14)
+    np.testing.assert_allclose(np.asarray(stk.p_n),
+                               np.asarray(st.p_n) + dx[6:9], atol=1e-14)
+    np.testing.assert_allclose(np.asarray(stk.P), 0.5 * (P2 + P2.T),
+                               rtol=1e-10, atol=1e-16)
+
+
+def test_stacked_update_radar_row_pulls_altitude():
+    """The 11th (radar) row observes -p_d exactly like baro: with a
+    radar-only mask the altitude error shrinks toward the radar reading
+    and nothing else moves at first order."""
+    f, st = _insgps_realistic_state(seed=5)
+    H, y, r = f.stacked_rows(
+        st, jnp.zeros(3), st.v_n, jnp.asarray(0.0), jnp.asarray(500.0),
+        jnp.asarray([20e-6, 2e-6, 44e-6]),
+        h_radar_e=jnp.asarray(497.0))  # radar says 3 m BELOW the filter
+    assert H.shape == (11, 15)
+    mask = jnp.asarray([False] * 10 + [True])
+    stk = f.update_stacked(st, H, y, r, mask)
+    # filter altitude h = h0 - p_d must move DOWN toward 497
+    dh = -(float(stk.p_n[2]) - float(st.p_n[2]))
+    assert -3.0 < dh < -0.5, dh
+    # horizontal position untouched by a -dp_d row through a diagonal-ish P
+    assert abs(float(stk.p_n[0] - st.p_n[0])) < 0.2
+
+
+# ------------------------------------------------ location-tied geomagnetics
+
+def test_mag_field_dipole_physics():
+    """Centered-dipole sanity: intensity 22-70 uT everywhere, downward
+    (positive-Z) in the northern hemisphere, northward at the equator,
+    and the (D, I, F) triple round-trips through `mag_field_ned`."""
+    from flightjax.physics.sensors import (mag_declination, mag_field_dipole,
+                                           mag_field_ned)
+
+    rng = np.random.default_rng(2)
+    lats = np.deg2rad(rng.uniform(-80, 80, size=32))
+    lons = np.deg2rad(rng.uniform(-180, 180, size=32))
+    B = np.asarray(jax.vmap(mag_field_dipole)(jnp.asarray(lats),
+                                              jnp.asarray(lons)))
+    F = np.linalg.norm(B, axis=-1)
+    assert (F > 2.2e-5).all() and (F < 7.0e-5).all()
+    north = lats > np.deg2rad(30)
+    assert (B[north, 2] > 0).all()          # inclination down up north
+
+    # equator, at the dipole-equator longitude: field ~ due north
+    B_eq = np.asarray(mag_field_dipole(jnp.asarray(0.0), jnp.asarray(0.0)))
+    assert B_eq[0] > 2.0e-5 and abs(B_eq[1]) < 0.3 * B_eq[0]
+
+    # (D, I, F) round trip
+    D, I, Fs = (np.asarray(v) for v in
+                mag_declination(jnp.asarray(B)))
+    B_rt = np.asarray(jax.vmap(
+        lambda f, i, d: mag_field_ned(f, i, d))(jnp.asarray(Fs),
+                                                jnp.asarray(I),
+                                                jnp.asarray(D)))
+    np.testing.assert_allclose(B_rt, B, rtol=1e-10, atol=1e-18)
+
+    # a known high-declination spot (northern Canada, toward the
+    # magnetic pole): |D| well away from zero
+    D_hi, _, _ = mag_declination(mag_field_dipole(
+        jnp.asarray(np.deg2rad(68.0)), jnp.asarray(np.deg2rad(-120.0))))
+    assert abs(np.degrees(float(D_hi))) > 10.0
+
+
+def test_blocked_spd_solve_matches_dense():
+    """Block-partitioned SPD solve (the stacked update's launch-count
+    solver) == dense solve for every shipped partition."""
+    from flightjax.utils.estimation import blocked_spd_solve
+
+    rng = np.random.default_rng(1)
+    for sizes in [(3, 3, 1, 3), (3, 3, 1, 3, 1), (1, 1, 1), (3,)]:
+        m = sum(sizes)
+        A = rng.normal(size=(m, m))
+        S = A @ A.T + m * np.eye(m)
+        B = rng.normal(size=(m, 15))
+        X = blocked_spd_solve(jnp.asarray(S), jnp.asarray(B), sizes)
+        np.testing.assert_allclose(np.asarray(X), np.linalg.solve(S, B),
+                                   rtol=1e-9, atol=1e-12)

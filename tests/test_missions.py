@@ -99,3 +99,153 @@ def test_turbulent_fleet_loads_demo():
     assert np.all(peaks > 0.7) and np.all(peaks < 5.0)
     assert np.all(np.diff(frac) <= 1e-12)  # monotone in threshold
     assert float(np.asarray(final.s["terminated"]).sum()) == 0.0
+
+
+def test_crosswind_landing_nav_to_wheels_stop():
+    """VERDICT r4 #2: the reference's crown-jewel ground mission flown ON
+    THE NAVIGATION SOLUTION from short final to wheels-stop — segment
+    guidance on the filter's fix, RADAR-ALTIMETER flare gate (the
+    h_radar consumer), decrab/touchdown/braking on estimated states,
+    monitored radar aiding through the flare — with no false FDI alarms
+    and no crash."""
+    import jax
+
+    final, log = D.crosswind_landing_nav(t_end=110.0, s_togo=1500.0,
+                                         save_every=10)
+    # mission completed: on the ground phase, braked to (near) stop
+    assert int(final.s["avionics"]["inner"]["phase"]) == 2
+    assert not bool(final.s["terminated"])
+    v_gnd = float(jnp.asarray(
+        log.y.vehicle.kinematics.v_gnd[-1]))
+    assert v_gnd < 2.0, v_gnd
+
+    nav = log.y.avionics["nav"]
+    phase = np.asarray(log.y.avionics["inner"]["phase"])
+    kin = log.y.vehicle.kinematics
+
+    # no false alarms through approach, flare, touchdown, rollout
+    for ch in ("gps_alarm", "baro_alarm", "mag_alarm", "radar_alarm"):
+        assert not np.asarray(nav[ch]).any(), ch
+
+    # the flare was triggered by the radar altimeter: at the 0->1 phase
+    # transition the TRUE AGL is near the 6 m gate (radar-informed h_o)
+    i_flare = int(np.argmax(phase >= 1))
+    assert phase[i_flare] >= 1, "never flared"
+    agl_true = float(kin.h_o[i_flare]) - D.H_LOWS15
+    assert 2.0 < agl_true < 9.0, agl_true
+
+    # touchdown near the runway: at the 1->2 transition, within the
+    # runway corridor (cross-track of the extended centerline < 10 m)
+    from flightjax.models.c172 import c172x_gdc as GDC
+    legs = D._lows_pattern()
+    i_td = int(np.argmax(phase >= 2))
+    assert phase[i_td] >= 2, "never touched down"
+    data = GDC.segment_data(legs["final"],
+                            jnp.asarray(kin.n_e[i_td]),
+                            jnp.asarray(kin.h_e[i_td]))
+    assert abs(float(data.e_sb)) < 10.0, float(data.e_sb)
+    # touchdown altitude is the runway (gear-extended CoM height)
+    agl_td = float(kin.h_o[i_td]) - D.H_LOWS15
+    assert 1.5 < agl_td < 2.2, agl_td
+
+    # navigation honesty through the ground phases: altitude estimate
+    # within 3 m of truth throughout (radar-aided near the ground)
+    h_err = np.abs(np.asarray(nav["h_est"]) - np.asarray(kin.h_e))
+    assert h_err.max() < 3.0, h_err.max()
+
+
+def test_crosswind_landing_nav_fleet_dispersion():
+    """Touchdown dispersion over a small sensor-randomized fleet
+    (VERDICT r4 #2 'done' criterion): every lane lands on its own
+    navigation solution, stops on the runway, alarms stay quiet, and
+    the wheels-stop scatter is metres-tight laterally."""
+    import jax
+    from flightjax.parallel import fleet
+    from flightjax.models.c172 import c172x_gdc as GDC
+
+    legs = D._lows_pattern()
+    B = 3
+    sim, state = _landing_nav_rig()
+    st = fleet.broadcast_state(state, B)
+    av_u = dict(st.u["avionics"])
+    av_u["sens"] = dict(av_u["sens"],
+                        seed=jnp.arange(B, dtype=jnp.int32) + 100)
+    st = st._replace(u=dict(st.u, avionics=av_u))
+
+    n_steps = int(round(100.0 / 0.02))
+    out = fleet.fleet_rollout(sim, st, n_steps=n_steps)
+
+    phase = np.asarray(out.s["avionics"]["inner"]["phase"])
+    assert (phase == 2).all(), phase          # every lane on the ground
+    assert not np.asarray(out.s["terminated"]).any()
+    v = np.asarray(out.x["vehicle"]["dynamics"]["v_eb_b"])
+    assert (np.linalg.norm(v, axis=-1) < 2.0).all()
+
+    # per-lane FDI quiet through the whole landing
+    for mon in ("mon_gps", "mon_vel", "mon_baro", "mon_mag", "mon_radar"):
+        assert not np.asarray(out.s["avionics"][mon]["alarm"]).any(), mon
+
+    # wheels-stop dispersion: lanes scatter by sensor noise only —
+    # metres-tight cross-track, tens of metres along-track
+    y = jax.vmap(lambda s: sim.output(s, ()))(out)
+    kin = y.vehicle.kinematics
+    es, ss = [], []
+    for i in range(B):
+        d = GDC.segment_data(legs["final"],
+                             jnp.asarray(np.asarray(kin.n_e)[i]),
+                             jnp.asarray(np.asarray(kin.h_e)[i]))
+        es.append(float(d.e_sb))
+        ss.append(float(d.s_2b))
+    assert np.ptp(es) < 12.0, es
+    # along-track wheels-stop scatter: flare-timing differences from
+    # radar/sensor noise integrate over the ~25 s rollout (measured
+    # ~85 m over 3 lanes); bound it at 150 m of runway
+    assert np.ptp(ss) < 150.0, ss
+
+
+def _landing_nav_rig(dt=0.02, s_togo=1500.0, wind_E=6.0):
+    """(sim, trimmed+configured initial state) for the sensor-fed
+    crosswind landing — the demo's setup stage, reusable by the fleet
+    test."""
+    import numpy as np
+    from flightjax.core.mission import Phase
+    from flightjax.core.sim import Simulation
+    from flightjax.demos.c172_demos import (_lows_pattern,
+                                            _mission_phase_lib,
+                                            _mission_world_nav, H_LOWS15,
+                                            LAT_LOWS15, LON_LOWS15,
+                                            PSI_LOWS15)
+    from flightjax.models.c172 import c172x, common as C172
+    from flightjax.models.c172 import c172x_gdc as GDC
+
+    legs = _lows_pattern()
+    lib = _mission_phase_lib(legs)
+
+    def final_done_agl(y, t):
+        return (y.kinematics.h_o - H_LOWS15) < 6.0
+
+    phases = [
+        Phase("final", lib["fly_leg"](legs["final"], 30.0), final_done_agl,
+              systems=lib["flaps"](1.0)),
+        Phase("flare", lib["flare_apply"], lib["on_gnd"],
+              systems=lib["flaps"](1.0)),
+        Phase("ground", lib["ground_apply"],
+              lambda y, t: jnp.asarray(False),
+              systems=lib["ground_systems"]),
+    ]
+    world = _mission_world_nav(phases, dt=dt)
+    sim = Simulation(world, dt=dt, periodic_dt=dt)
+    seg_up = GDC.segment_from_vector(LAT_LOWS15, LON_LOWS15,
+                                     float(legs["final"].h_e2),
+                                     PSI_LOWS15 + np.pi, float(s_togo),
+                                     gamma=np.deg2rad(3))
+    lat1, lon1 = (float(v) for v in GDC.segment_latlon(seg_up.n_e2))
+    tp = C172.trim_parameters(lat=lat1, lon=lon1, h=float(seg_up.h_e2),
+                              psi_nb=PSI_LOWS15, EAS=30.0,
+                              gamma=-np.deg2rad(3), flaps=1.0,
+                              fuel_load=0.5)
+    state, _, _ = c172x.trim_world(world.aircraft, tp, periodic_dt=dt)
+    veh_u = dict(state.u["vehicle"])
+    veh_u["atm"] = dict(veh_u["atm"],
+                        wind=jnp.asarray([0.0, float(wind_E), 0.0]))
+    return sim, state._replace(u=dict(state.u, vehicle=veh_u))

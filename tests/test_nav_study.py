@@ -27,3 +27,8 @@ def test_joint_navigation_study_exceedance():
         frac = np.asarray(r[key])
         assert np.all(np.diff(frac) <= 1e-12), (key, frac)
         assert np.all((0.0 <= frac) & (frac <= 1.0))
+    # no FDI false alarms despite the deliberate filter/truth sensor-
+    # grade mismatch (ADVICE r4: high-grade-noise lanes run a knowingly
+    # optimistic catalog-tuned filter)
+    assert all(v == 0.0 for v in r["alarm_fraction"].values()), \
+        r["alarm_fraction"]

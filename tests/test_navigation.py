@@ -358,3 +358,213 @@ def test_baro_fault_alarm_and_reject(nav_rig):
     # and the aircraft keeps tracking
     EAS = np.asarray(log.y.vehicle.airflow.EAS)
     assert abs(EAS[-1] - 45.0) < 1.0
+
+
+def test_gps_velocity_ramp_alarm_and_coast(nav_rig):
+    """VERDICT r4 #3(a): a velocity-channel-only GPS fault (healthy
+    position — the receiver failure mode a position-only monitor
+    misses). A 1 m/s^2 velocity ramp must latch the GPS alarm through
+    the VELOCITY NIS monitor and coast; the attitude estimate (coupled
+    to velocity residuals through -C[fx]) must stay honest."""
+    sim, state0, _ = nav_rig
+    from flightjax.physics import navigation as NAV
+
+    state = _engage_turning_climb(state0)
+    av_u = dict(state.u["avionics"])
+    fault = dict(NAV.no_fault(),
+                 channel=jnp.asarray(NAV.FAULT_GPS_VEL, jnp.int32),
+                 mode=jnp.asarray(NAV.MODE_RAMP, jnp.int32),
+                 k0=jnp.asarray(750, jnp.int32),     # 15 s in
+                 delta=jnp.asarray(1.0))             # 1 m/s per second
+    state = state._replace(u=dict(state.u,
+                                  avionics=dict(av_u, fault=fault)))
+    final, log = sim.run(state, t_end=30.0, save_every=5)
+    nav = log.y.avionics["nav"]
+    t = np.asarray(log.t)
+    alarms = np.asarray(nav["gps_alarm"])
+    assert not alarms[t < 15.0].any()
+    assert alarms[-1]
+    # the POSITION monitor alone must NOT have latched before the
+    # velocity monitor could (velocity-only fault): check the velocity
+    # NIS is what blew up
+    assert np.asarray(nav["nis_gps_vel"]).max() > 16.27
+    # coasting: attitude stays sane, aircraft keeps tracking
+    q_t = np.asarray(log.y.vehicle.kinematics.q_nb)
+    q_e = np.asarray(nav["q_nb"])
+    att_err = np.degrees(2 * np.arccos(np.clip(
+        np.abs(np.sum(q_t * q_e, axis=-1)), 0.0, 1.0)))
+    assert att_err[-1] < 3.0, att_err[-1]
+    EAS = np.asarray(log.y.vehicle.airflow.EAS)
+    assert abs(EAS[-1] - 45.0) < 2.0
+
+
+def test_mag_hard_iron_jump_rejected(nav_rig):
+    """VERDICT r4 #3(b): a hard-iron jump (20 uT on every body axis,
+    ~half the field magnitude) must latch the MAG alarm and be rejected
+    before it walks the heading: with mag aiding coasting, the heading
+    error stays bounded by the gyro-bias drift rate, nowhere near the
+    ~30 deg the corrupted field direction implies."""
+    sim, state0, _ = nav_rig
+    from flightjax.physics import navigation as NAV
+
+    state = _engage_turning_climb(state0)
+    av_u = dict(state.u["avionics"])
+    fault = dict(NAV.no_fault(),
+                 channel=jnp.asarray(NAV.FAULT_MAG, jnp.int32),
+                 mode=jnp.asarray(NAV.MODE_BIAS, jnp.int32),
+                 k0=jnp.asarray(750, jnp.int32),
+                 delta=jnp.asarray(20e-6))
+    state = state._replace(u=dict(state.u,
+                                  avionics=dict(av_u, fault=fault)))
+    final, log = sim.run(state, t_end=35.0, save_every=5)
+    nav = log.y.avionics["nav"]
+    t = np.asarray(log.t)
+    m_alarms = np.asarray(nav["mag_alarm"])
+    assert not m_alarms[t < 15.0].any()
+    assert m_alarms[-1]
+    assert not np.asarray(nav["gps_alarm"]).any()
+    # heading stays honest (reject-and-coast, GPS-coupled attitude)
+    psi_t = np.asarray(log.y.vehicle.kinematics.e_nb)[:, 0]
+    q_e = np.asarray(nav["q_nb"])
+    from flightjax.ops.attitude import quat_to_euler
+    psi_e = np.asarray(jax.vmap(quat_to_euler)(jnp.asarray(q_e)))[:, 0]
+    dpsi = np.degrees(np.abs(np.unwrap(psi_e) - np.unwrap(psi_t)))
+    assert dpsi[t > 15.0].max() < 5.0, dpsi[t > 15.0].max()
+
+
+def test_alignment_robustness_degraded_start(nav_rig):
+    """VERDICT r4 #7: initialize the filter with realistic alignment
+    errors (5 deg heading, 30 m position, 1 m/s velocity, catalog
+    turn-on biases) — it must CAPTURE without false alarms and without
+    the control loop departing (P0 is widened to the injected errors,
+    which keeps the first innovations chi-square consistent)."""
+    sim, _, aircraft = nav_rig
+    from flightjax.core.sim import SimState
+    from flightjax.models.c172 import c172x
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        x, u, s, ts, rnorm = c172x.trim(aircraft.vehicle,
+                                        C172.trim_parameters())
+        _, veh_y = aircraft.vehicle.f_ode(x, u, s, 0.0)
+        init_errors = {"datt_n": (0.01, -0.01, np.deg2rad(5.0)),
+                       "dp_n": (30.0, -20.0, 5.0),
+                       "dv_n": (1.0, -0.5, 0.3)}
+        u_av, s_av = aircraft.avionics.init_from_trim(
+            veh_y, DT, init_key=jax.random.PRNGKey(42),
+            init_errors=init_errors)
+    state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, jnp.int32),
+                     x={"vehicle": x}, u={"vehicle": u, "avionics": u_av},
+                     s={"vehicle": s, "avionics": s_av,
+                        "terminated": jnp.asarray(False)})
+    state = _engage_turning_climb(state)
+    final, log = sim.run(state, t_end=40.0, save_every=10)
+
+    nav = log.y.avionics["nav"]
+    kin = log.y.vehicle.kinematics
+    # no false alarms during capture
+    assert not np.asarray(nav["gps_alarm"]).any()
+    assert not np.asarray(nav["baro_alarm"]).any()
+    assert not np.asarray(nav["mag_alarm"]).any()
+    # capture: attitude error from 5+ deg down to < 1 deg settled
+    q_t, q_e = np.asarray(kin.q_nb), np.asarray(nav["q_nb"])
+    att_err = np.degrees(2 * np.arccos(np.clip(
+        np.abs(np.sum(q_t * q_e, axis=-1)), 0.0, 1.0)))
+    # the injected error is 5.0+ deg at t=0 by construction; the first
+    # LOGGED sample (0.2 s, after a few aiding epochs) must still show
+    # the capture in progress, and the tail must be settled
+    assert att_err[0] > 0.8, att_err[0]
+    assert att_err[-20:].max() < 1.0, att_err[-20:].max()
+    assert att_err[0] > 3 * att_err[-1]
+    # position capture: 30+ m initial error pulled under 5 m
+    from flightjax.utils.estimation import ned_from_geodetic
+    org = state.u["avionics"]["origin"]
+    p_true = np.asarray(jax.vmap(
+        lambda la, lo, he: ned_from_geodetic(la, lo, he, org["lat0"],
+                                             org["lon0"], org["h0"]))(
+        jnp.asarray(kin.lat), jnp.asarray(kin.lon), jnp.asarray(kin.h_e)))
+    p_err = np.linalg.norm(np.asarray(nav["p_n"]) - p_true, axis=-1)
+    assert p_err[-20:].max() < 5.0, p_err[-20:].max()
+    # and the aircraft did not depart
+    EAS = np.asarray(log.y.vehicle.airflow.EAS)
+    assert abs(EAS[-1] - 45.0) < 1.0
+    assert not bool(final.s["terminated"])
+
+
+def test_synthetic_alpha_beta_holds_bands():
+    """VERDICT r4 #4: the cascade flown with NO truth airflow-angle
+    channels — alpha synthesized from the filter attitude/velocity and
+    measured TAS, beta flown as zero — must still hold the turning-climb
+    acceptance bands on the TRUE trajectory."""
+    aircraft = c172x.build_xv1_nav("wa", periodic_dt=DT,
+                                   nav_kw={"alpha_beta": "synthetic"})
+    world = SimpleWorld(aircraft)
+    sim = Simulation(world, dt=DT, periodic_dt=DT)
+    state, _, rnorm = c172x.trim_world(aircraft, C172.trim_parameters(),
+                                       periodic_dt=DT)
+    assert float(rnorm) < 1e-10
+    state = _engage_turning_climb(state)
+    final, log = sim.run(state, t_end=40.0, save_every=10)
+
+    kin = log.y.vehicle.kinematics
+    EAS = np.asarray(log.y.vehicle.airflow.EAS)
+    clm = -np.asarray(kin.v_eb_n)[:, 2]
+    chi = np.asarray(kin.chi_gnd)
+    assert abs(EAS[-1] - 45.0) < 0.5, EAS[-1]
+    assert abs(clm[-1] - 1.5) < 0.2, clm[-1]
+    assert abs(chi[-1] - np.pi / 2) < 2e-2, chi[-1]
+    nav = log.y.avionics["nav"]
+    assert not np.asarray(nav["gps_alarm"]).any()
+    assert not np.asarray(nav["baro_alarm"]).any()
+
+
+def test_vane_error_sensitivity_bands_hold():
+    """VERDICT r4 #4 (sensitivity form): vane-grade alpha/beta errors
+    (1 deg alpha bias, 0.5 deg beta bias) injected into the LQR feature
+    channels — the acceptance bands must hold, bounding the documented
+    truth-channel approximation."""
+    aircraft = c172x.build_xv1_nav(
+        "wa", periodic_dt=DT,
+        nav_kw={"alpha_beta": ("perturb", np.deg2rad(1.0),
+                               np.deg2rad(0.5))})
+    world = SimpleWorld(aircraft)
+    sim = Simulation(world, dt=DT, periodic_dt=DT)
+    state, _, rnorm = c172x.trim_world(aircraft, C172.trim_parameters(),
+                                       periodic_dt=DT)
+    state = _engage_turning_climb(state)
+    final, log = sim.run(state, t_end=40.0, save_every=10)
+    kin = log.y.vehicle.kinematics
+    EAS = np.asarray(log.y.vehicle.airflow.EAS)
+    clm = -np.asarray(kin.v_eb_n)[:, 2]
+    chi = np.asarray(kin.chi_gnd)
+    assert abs(EAS[-1] - 45.0) < 0.5, EAS[-1]
+    assert abs(clm[-1] - 1.5) < 0.2, clm[-1]
+    assert abs(chi[-1] - np.pi / 2) < 2e-2, chi[-1]
+
+
+def test_min_detectable_gps_fault_scales_with_R():
+    """ADVICE r4: characterize the FDI sensitivity consequence of the
+    f32 GPS derating. The NIS monitor's minimum detectable instant
+    position bias is ~sqrt(gate)*sigma_R: with the catalog R (f64 path,
+    sigma ~1.7 m) a 10 m jump alarms within the monitor window; with the
+    f32-derated R (sigma ~20 m) the same 10 m jump does NOT, while an
+    85+ m jump does."""
+    from flightjax.utils.estimation import InsGps, innovation_monitor, nis
+
+    def alarms_for(delta, R):
+        # static hover: innovation = delta against S = P_pos + R
+        P_pos = jnp.eye(3) * 1.0
+        S = P_pos + R
+        init, update = innovation_monitor(16.27, window=6, min_hits=3)
+        mon = init()
+        y = jnp.asarray([delta, 0.0, 0.0])
+        for _ in range(6):
+            mon, alarm = update(mon, nis(y, S), valid=True)
+        return bool(alarm)
+
+    f = InsGps(dt=0.02)
+    R64 = f.R_pos_eff(jnp.float64)
+    R32 = f.R_pos_eff(jnp.float32).astype(jnp.float64)
+    assert alarms_for(10.0, R64)          # f64: 10 m jump detected
+    assert not alarms_for(10.0, R32)      # f32 derating: 10 m invisible
+    assert alarms_for(85.0, R32)          # f32: ~4-sigma of derated R
+    assert not alarms_for(3.0, R64)       # both: inside catalog noise
