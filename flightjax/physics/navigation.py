@@ -200,7 +200,7 @@ class NavAvionics:
                  radar_gate=10.83,
                  monitor_window=6, monitor_min_hits=3, filter_kw=None,
                  use_radar=False, radar_every=None, radar_max_agl=150.0,
-                 alpha_beta="truth", geomag="dipole"):
+                 alpha_beta="truth", geomag="dipole", defer_cov=True):
         self.inner = inner
         self.dt = float(dt)
         self.use_estimates = bool(use_estimates)
@@ -235,6 +235,20 @@ class NavAvionics:
         # filter get the SAME vector); "fixed" keeps the constructor/
         # params field (the pre-round-5 behavior).
         self.geomag = geomag
+        # deferred covariance propagation (`InsGps.predict_mean`/
+        # `propagate_P`): the navigation solution mechanizes every
+        # firing, but P compounds once per `p_every` firings — on the
+        # fastest aiding cadence, so every update still sees a fresh P
+        # (with NESTED cadences, the defaults; non-nested cadences may
+        # see P stale by < p_every firings on the off-channel epochs).
+        # p_every epochs are a subset of the fleet 'aid' gate epochs by
+        # construction, which keeps the gated and ungated paths
+        # identical.
+        self.defer_cov = bool(defer_cov)
+        everys = [gps_every, baro_every, mag_every]
+        if use_radar:
+            everys.append(self.radar_every)
+        self.p_every = min(everys)
         p = params if params is not None else suite_params()
         self._params = p
 
@@ -308,6 +322,7 @@ class NavAvionics:
         return {"inner": self.inner.init_s(),
                 "sens": self.suite.init_s(),
                 "nav": self.filter.init(),
+                "A": self.filter.zero_A(),
                 "hold": {"gps_p": jnp.zeros(3), "gps_v": jnp.zeros(3),
                          "h_baro": jnp.asarray(0.0), "mag": jnp.zeros(3)},
                 "nis": {"gps": jnp.asarray(0.0), "gps_vel": jnp.asarray(0.0),
@@ -420,9 +435,17 @@ class NavAvionics:
         # the round-5 throughput move: it collapses what was up to four
         # sequential 15x15 Joseph updates per firing into one
         # (`InsGps.update_stacked`; docs/notes/performance.md round 5).
-        st = self.filter.predict(s["nav"], z.omega_b, z.f_b)
-
         nrec = s_sens["n"]
+        if self.defer_cov:
+            st, parts = self.filter.predict_mean(s["nav"], z.omega_b,
+                                                 z.f_b)
+            A_acc = self.filter.accum_A(s["A"], parts)
+            p_new = (nrec % self.p_every) == 0
+        else:
+            st = self.filter.predict(s["nav"], z.omega_b, z.f_b)
+            A_acc = s["A"]
+            p_new = jnp.asarray(False)
+
         baro_new = (nrec % self.baro_every) == 0
         mag_new = (nrec % self.mag_every) == 0
         h_meas = h_baro - org["baro_datum"]      # ~ ellipsoidal altitude
@@ -463,17 +486,19 @@ class NavAvionics:
                 return self._aid_block(op, org, h_radar_e is not None)
 
         def aid_skip(op):
-            st, mons, _ = op
+            st, mons, meas = op
             zz = jnp.zeros((), st.P.dtype)
             alarms = ((mons["gps"]["alarm"] | mons["vel"]["alarm"]),
                       mons["baro"]["alarm"], mons["mag"]["alarm"],
                       mons["radar"]["alarm"])
-            return st, mons, (zz, zz, zz, zz, zz), alarms
+            # no aiding epoch on any lane implies no p_new epoch
+            # (p_every is an aiding cadence), so A keeps accumulating
+            return st, mons, (zz, zz, zz, zz, zz), alarms, meas[-2]
 
-        st, mons, nises, alarms = gated(
+        st, mons, nises, alarms, A_out = gated(
             gates.get("aid"), aid_block, aid_skip,
             (st, mons, (p_gps, v_gps, gps_new, h_meas, mag_b, h_radar_e,
-                        baro_new, mag_new, radar_new)))
+                        baro_new, mag_new, radar_new, A_acc, p_new)))
         nis_pos, nis_vel, nis_bar, nis_mag, nis_rad = nises
         gps_alarm, baro_alarm, mag_alarm, radar_alarm = alarms
         q_est = st.q_nb
@@ -529,7 +554,7 @@ class NavAvionics:
                      gps_alarm=gps_alarm, baro_alarm=baro_alarm,
                      mag_alarm=mag_alarm, radar_alarm=radar_alarm, z=z)
         s_new = {"inner": s_in, "sens": s_sens, "nav": st,
-                 "hold": hold,
+                 "A": A_out, "hold": hold,
                  "nis": {"gps": jnp.where(gps_new, nis_pos, s["nis"]["gps"]),
                          "gps_vel": jnp.where(gps_new, nis_vel,
                                               s["nis"]["gps_vel"]),
@@ -552,7 +577,18 @@ class NavAvionics:
         rows are gated by epoch flags AND latched alarms
         (reject-and-coast per channel)."""
         st, mons, meas = op
-        (p_g, v_g, g_new, h_m, m_b, h_r_e, b_new, m_new, r_new) = meas
+        (p_g, v_g, g_new, h_m, m_b, h_r_e, b_new, m_new, r_new,
+         A_acc, p_new) = meas
+        if self.defer_cov:
+            # compounded covariance propagation on the p_every cadence
+            # (before NIS/updates, so every update sees a fresh P);
+            # masked so the gated and ungated execution paths agree
+            prop = self.filter.propagate_P(st, A_acc, self.p_every)
+            st = st._replace(P=jnp.where(p_new, prop.P, st.P))
+            A_out = jax.tree.map(
+                lambda a: jnp.where(p_new, jnp.zeros_like(a), a), A_acc)
+        else:
+            A_out = A_acc
         H, y, r = self.filter.stacked_rows(
             st, p_g, v_g, h_m, org["h0"], m_b, B_n=org["B_n"],
             h_radar_e=h_r_e)
@@ -596,7 +632,7 @@ class NavAvionics:
         mons2 = {"gps": mon_gps, "vel": mon_vel, "baro": mon_bar,
                  "mag": mon_mag, "radar": mon_rad}
         return (st2, mons2, (nis_pos, nis_vel, nis_bar, nis_mag, nis_rad),
-                (a_gps, a_bar, a_mag, a_rad))
+                (a_gps, a_bar, a_mag, a_rad), A_out)
 
     def _systems_est(self, veh_y, q_est, v_n, TAS_est):
         """Systems output seen by the inner laws, per the alpha_beta

@@ -696,6 +696,84 @@ class InsGps:
         return InsGpsState(q_nb=q, v_n=v, p_n=p, b_g=st.b_g, b_a=st.b_a,
                            P=P)
 
+    # ------------------------------------- deferred covariance propagation
+
+    def predict_mean(self, st: InsGpsState, omega_m, f_m):
+        """Mean-only strapdown mechanization (P untouched): the per-
+        firing half of the DEFERRED covariance scheme. Returns
+        (st', F dt) where F dt is this epoch's transition-minus-identity
+        contribution; the caller accumulates A = Σ F dt between aiding
+        epochs and compounds ONE covariance propagation per interval
+        (`propagate_P`). This is the round-5 sensor-fed throughput move
+        beyond the stacked update: the per-firing pair of 15x15
+        covariance matmuls (which dominate the filter's device time at
+        fleet scale) collapse to one pair per aiding interval, while the
+        navigation solution itself stays mechanized at the full rate.
+        First-order compounding is exact to O((F dt)^2) per interval
+        (|F dt| <= ~0.2/firing at 1 g; `propagate_P` keeps the A^2/2
+        term, bounding the interval error at ~1e-3 relative) —
+        equivalence vs the exact per-firing recursion is test-enforced
+        (`tests/test_navigation.py::test_deferred_covariance_matches_
+        exact`)."""
+        with jax.default_matmul_precision("highest"):
+            return self._predict_mean_hp(st, omega_m, f_m)
+
+    def _predict_mean_hp(self, st, omega_m, f_m):
+        from flightjax.ops.attitude import quat_to_matrix
+        dt = self.dt
+        dtp = st.P.dtype
+        w = omega_m - st.b_g
+        f = f_m - st.b_a
+        q = qnormalize(qmul(st.q_nb, rvec_to_quat(w * dt)))
+        C = quat_to_matrix(st.q_nb)
+        a_n = C @ f + self.g_n.astype(dtp)
+        v = st.v_n + a_n * dt
+        p = st.p_n + st.v_n * dt + 0.5 * a_n * dt**2
+        # A's only varying blocks are three 3x3 sums (the dt^2 position
+        # couplings are dt-multiples of the dt^1 sums, the bias columns
+        # are -I*k*dt): accumulate just (skew(w) dt, C[f x] dt, C dt) —
+        # a handful of fused 3x3 adds per firing instead of a 15x15
+        # block assembly (launch-count matters; see propagate_P)
+        Cf = C @ skew(f)
+        parts = (skew(w) * dt, Cf * dt, C * dt)
+        return (InsGpsState(q_nb=q, v_n=v, p_n=p, b_g=st.b_g, b_a=st.b_a,
+                            P=st.P), parts)
+
+    @staticmethod
+    def zero_A(dtype=None):
+        """Zero accumulator for the deferred-covariance scheme (the
+        three varying 3x3 block-sums of A — see `predict_mean`)."""
+        z = jnp.zeros((3, 3), dtype)
+        return {"w": z, "cf": z, "c": z}
+
+    @staticmethod
+    def accum_A(A, parts):
+        sw, scf, sc = parts
+        return {"w": A["w"] + sw, "cf": A["cf"] + scf, "c": A["c"] + sc}
+
+    def propagate_P(self, st: InsGpsState, A, k):
+        """Compounded covariance propagation over an aiding interval of
+        `k` firings: Phi ≈ I + A + A²/2 with A = Σ F dt assembled from
+        the three accumulated block-sums (see `predict_mean`), Q scaled
+        by k (first order — Q is diagonal and tiny per firing)."""
+        with jax.default_matmul_precision("highest"):
+            dtp = st.P.dtype
+            dt = self.dt
+            Z3 = jnp.zeros((3, 3), dtp)
+            Ikdt = jnp.eye(3, dtype=dtp) * (float(k) * dt)
+            Sw, Scf, Sc = (A["w"].astype(dtp), A["cf"].astype(dtp),
+                           A["c"].astype(dtp))
+            Am = jnp.block([
+                [-Sw, Z3, Z3, -Ikdt, Z3],
+                [-Scf, Z3, Z3, Z3, -Sc],
+                [-0.5 * dt * Scf, Ikdt, Z3, Z3, -0.5 * dt * Sc],
+                [Z3, Z3, Z3, Z3, Z3],
+                [Z3, Z3, Z3, Z3, Z3]])
+            Phi = (jnp.eye(15, dtype=dtp) + Am + 0.5 * (Am @ Am))
+            P = Phi @ st.P @ Phi.T + (float(k) * self.Q).astype(dtp)
+            P = 0.5 * (P + P.T)
+            return st._replace(P=P)
+
     # -------------------------------------------------------------- updates
 
     def _update(self, st: InsGpsState, H, y, R):
@@ -926,23 +1004,30 @@ def nis(y, S):
 
 def innovation_monitor(threshold, window=10, min_hits=5):
     """Builds a scan-friendly persistent fault monitor: `update(state,
-    nis_value, valid)` pushes one epoch's NIS into a ring counter and
+    nis_value, valid)` pushes one epoch's NIS into a shift register and
     returns (state, alarm) — alarm latches when >= `min_hits` of the last
     `window` *valid* epochs exceeded `threshold`. Branch-free; vmappable.
-    """
+
+    The register is a BITMASK (uint32 shift + population count), not an
+    indexed ring buffer: a per-lane `hits.at[idx].set()` ring is a
+    batched dynamic scatter, which lowers to one of the slowest kernel
+    classes on TPU — five monitors' scatters dominated the stacked
+    aiding block at fleet scale (measured round 5,
+    docs/notes/performance.md) — while the bitmask form is three fused
+    elementwise integer ops."""
+    assert window <= 32, "bitmask register holds at most 32 epochs"
+    mask = jnp.uint32((1 << window) - 1)
+
     def init():
-        return {"hits": jnp.zeros(window, jnp.int32),
-                "idx": jnp.asarray(0, jnp.int32),
+        return {"bits": jnp.asarray(0, jnp.uint32),
                 "alarm": jnp.asarray(False)}
 
     def update(st, nis_value, valid=True):
         valid = jnp.asarray(valid)
-        hit = jnp.where(valid & (nis_value > threshold), 1, 0).astype(
-            jnp.int32)
-        hits = jnp.where(
-            valid, st["hits"].at[st["idx"] % window].set(hit), st["hits"])
-        idx = st["idx"] + valid.astype(jnp.int32)
-        alarm = st["alarm"] | (jnp.sum(hits) >= min_hits)
-        return {"hits": hits, "idx": idx, "alarm": alarm}, alarm
+        hit = (valid & (nis_value > threshold)).astype(jnp.uint32)
+        bits = jnp.where(valid, ((st["bits"] << 1) | hit) & mask,
+                         st["bits"])
+        alarm = st["alarm"] | (jax.lax.population_count(bits) >= min_hits)
+        return {"bits": bits, "alarm": alarm}, alarm
 
     return init, update

@@ -568,3 +568,41 @@ def test_min_detectable_gps_fault_scales_with_R():
     assert not alarms_for(10.0, R32)      # f32 derating: 10 m invisible
     assert alarms_for(85.0, R32)          # f32: ~4-sigma of derated R
     assert not alarms_for(3.0, R64)       # both: inside catalog noise
+
+
+def test_deferred_covariance_matches_exact(nav_rig):
+    """The deferred covariance scheme (mean mechanization every firing,
+    one compounded P propagation per aiding interval —
+    `InsGps.predict_mean`/`propagate_P`) must reproduce the exact
+    per-firing recursion's navigation solution to well inside the
+    estimation error: same 20 s closed-loop run, attitude estimates
+    within 0.05 deg, position estimates within 0.1 m of each other."""
+    sim, state0, _ = nav_rig  # deferred (default)
+    state = _engage_turning_climb(state0)
+    _, log_d = sim.run(state, t_end=20.0, save_every=10)
+
+    aircraft_e = c172x.build_xv1_nav("wa", periodic_dt=DT,
+                                     nav_kw={"defer_cov": False})
+    world_e = SimpleWorld(aircraft_e)
+    sim_e = Simulation(world_e, dt=DT, periodic_dt=DT)
+    st_e, _, _ = c172x.trim_world(aircraft_e, C172.trim_parameters(),
+                                  periodic_dt=DT)
+    _, log_e = sim_e.run(_engage_turning_climb(st_e), t_end=20.0,
+                         save_every=10)
+
+    nav_d, nav_e = log_d.y.avionics["nav"], log_e.y.avionics["nav"]
+    q_d, q_e = np.asarray(nav_d["q_nb"]), np.asarray(nav_e["q_nb"])
+    datt = np.degrees(2 * np.arccos(np.clip(
+        np.abs(np.sum(q_d * q_e, axis=-1)), 0.0, 1.0)))
+    assert datt.max() < 0.05, datt.max()
+    dp = np.linalg.norm(np.asarray(nav_d["p_n"]) - np.asarray(nav_e["p_n"]),
+                        axis=-1)
+    assert dp.max() < 0.1, dp.max()
+    # the truth trajectories (closed loop!) also stay together
+    dh = np.abs(np.asarray(log_d.y.vehicle.kinematics.h_e)
+                - np.asarray(log_e.y.vehicle.kinematics.h_e))
+    assert dh.max() < 0.5, dh.max()
+    # and neither run alarmed
+    for nav in (nav_d, nav_e):
+        assert not np.asarray(nav["gps_alarm"]).any()
+        assert not np.asarray(nav["baro_alarm"]).any()

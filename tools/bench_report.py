@@ -303,6 +303,14 @@ def bench_autopilot_fleet_sensor():
     return _bench_autopilot(sensor_fed=True)
 
 
+def bench_autopilot_fleet_sensor_large():
+    """The sensor-fed mission at batch 16384 — the launch-bound step's
+    per-kernel overhead amortizes with batch (same rationale as
+    `cruise_fleet_batch16384`), so this is the chip's true per-chip
+    sensor-fed capability."""
+    return _bench_autopilot(sensor_fed=True, batch=16384)
+
+
 F32_ENVELOPE = """
 ## f32 accuracy envelope carried by the fleet numbers
 
@@ -357,7 +365,8 @@ def main():
     for fn in (bench_robot2d, bench_c172s_elevator, bench_turning_climb,
                bench_trim_linearize, bench_monte_carlo_fleet,
                bench_cruise_fleet_large, bench_autopilot_fleet_truth,
-               bench_autopilot_fleet_sensor):
+               bench_autopilot_fleet_sensor,
+               bench_autopilot_fleet_sensor_large):
         if fn.__name__ in cache:
             rows.append(cache[fn.__name__])
             print(json.dumps(cache[fn.__name__]), "(cached)")
