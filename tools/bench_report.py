@@ -407,18 +407,22 @@ def main():
         "\"roofline\") — the chip's true per-chip capability.",
         "",
         "The `autopilot_fleet_*` rows put BASELINE row 3's mission ON THE "
-        "CHIP AT FLEET SCALE: 4096 C172Xv1s fly the full 600 s turning "
+        "CHIP AT FLEET SCALE: C172Xv1 fleets fly the full 600 s turning "
         "climb with the discrete gain-scheduled cascade firing every step "
         "(final EAS/climb asserted against the references in-run). "
         "`truth_fed` = the reference's architecture (laws read true "
         "kinematics); `sensor_fed_nav` = laws flying entirely on estimated "
-        "states (SensorSuite -> 15-state InsGps EKF -> ControlLaws, "
-        "physics/navigation.py) — a 4096-lane fleet of full INS/GPS EKFs "
-        "runs ~5.9x realtime on one chip. The sensor-fed step is "
-        "kernel-count-bound (the filter adds ~5 sequential Joseph updates "
-        "of small matrices per firing); known headroom: stacking the "
-        "update sequence and scalar-gating the GPS epochs "
-        "(docs/notes/performance.md round 4).",
+        "states (SensorSuite -> 15-state InsGps EKF with five monitored "
+        "FDI channels -> ControlLaws, physics/navigation.py). Round 5 "
+        "restructured the filter's aiding pass for the launch-bound fleet "
+        "step — ONE stacked masked Joseph update per aiding epoch (block-"
+        "elimination innovation solve) and deferred covariance "
+        "propagation (mean mechanized every firing, P compounded once per "
+        "aiding interval) — lifting the batch-4096 row ~23% over round 4 "
+        "while growing the monitored-channel count from two to five "
+        "(docs/notes/performance.md round 5). The batch-16384 sensor-fed "
+        "row is the launch-overhead-amortized per-chip capability, the "
+        "same rationale as `cruise_fleet_batch16384`.",
         F32_ENVELOPE,
     ]
     with open(os.path.join(ROOT, "BENCHMARKS.md"), "w") as f:
