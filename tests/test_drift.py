@@ -255,7 +255,9 @@ def test_f32_envelope_600s_autopilot_nav():
     (sensors._draws), so the f64/f32 legs fly identical realizations and
     the comparison is pure arithmetic drift. Measured 2026-08-21:
     comp=True |dr| = 0.37 m, |dv| = 1.4e-4 m/s, attitude 4.4e-5 rad,
-    EAS 2e-5 m/s (comp=False: 1118 m)."""
+    EAS 2e-5 m/s (comp=False: 1118 m). Re-measured after the round-5
+    stacked/deferred filter rework: dr = 0.73 m, dv = 5.4e-4 m/s,
+    de = 4.3e-5 rad — still at the sub-metre sensor-noise floor."""
     import importlib.util
     import os
     spec = importlib.util.spec_from_file_location(

@@ -606,3 +606,62 @@ def test_deferred_covariance_matches_exact(nav_rig):
     for nav in (nav_d, nav_e):
         assert not np.asarray(nav["gps_alarm"]).any()
         assert not np.asarray(nav["baro_alarm"]).any()
+
+
+def test_heading_at_high_declination_location():
+    """VERDICT r4 #5 'done' criterion: closed-loop nav at a HIGH-
+    DECLINATION location (northern Canada; dipole declination ~ -25 deg).
+    `init_from_trim`'s default geomag="dipole" feeds the SAME
+    location-derived field to the magnetometer truth and the filter, so
+    the heading estimate must stay unbiased — and a deliberately
+    mismatched (zero-declination) filter field must be CAUGHT by the mag
+    innovation gate (a ~25 deg direction mismatch scores NIS in the
+    hundreds): alarm latched, corrupted aiding rejected, heading still
+    honest instead of silently walking to the declination bias."""
+    from flightjax.ops.attitude import quat_to_euler
+    from flightjax.physics.sensors import mag_declination, mag_field_dipole
+
+    lat, lon = np.deg2rad(68.0), np.deg2rad(-120.0)
+    D, _, _ = mag_declination(mag_field_dipole(jnp.asarray(lat),
+                                               jnp.asarray(lon)))
+    assert abs(np.degrees(float(D))) > 10.0  # genuinely high declination
+
+    def rig(geomag):
+        aircraft = c172x.build_xv1_nav("wa", periodic_dt=DT,
+                                       nav_kw={"geomag": geomag})
+        world = SimpleWorld(aircraft)
+        sim = Simulation(world, dt=DT, periodic_dt=DT)
+        tp = C172.trim_parameters(lat=float(lat), lon=float(lon))
+        state, _, rnorm = c172x.trim_world(aircraft, tp, periodic_dt=DT)
+        assert float(rnorm) < 1e-8
+        return sim, state
+
+    def run_leg(sim, state, t_end=30.0):
+        final, log = sim.run(state, t_end=t_end, save_every=25)
+        nav = log.y.avionics["nav"]
+        psi_e = np.asarray(jax.vmap(quat_to_euler)(
+            jnp.asarray(nav["q_nb"])))[:, 0]
+        psi_t = np.asarray(log.y.vehicle.kinematics.e_nb)[:, 0]
+        d = np.degrees(np.unwrap(psi_e) - np.unwrap(psi_t))
+        return d[-10:], nav  # settled tail + nav log
+
+    sim_d, st_d = rig("dipole")
+    tail, nav = run_leg(sim_d, st_d)
+    # convergence is slower here than at mid-latitudes (the horizontal
+    # field component shrinks toward the pole), hence the 30 s leg
+    assert np.abs(tail).max() < 1.0, tail  # correct-by-default
+    assert not np.asarray(nav["mag_alarm"]).any()
+
+    # mismatch control: filter believes the fixed zero-declination field
+    # while the magnetometer measures the local dipole field — the mag
+    # direction innovation is ~|D| (far outside the gate), so the FDI
+    # must flag the misconfiguration and reject the aiding
+    sim_m, st_m = rig("dipole")
+    av_u = dict(st_m.u["avionics"])
+    from flightjax.physics.sensors import mag_params
+    av_u["origin"] = dict(av_u["origin"],
+                          B_n=mag_params()["B_n"])  # zero-declination
+    st_m = st_m._replace(u=dict(st_m.u, avionics=av_u))
+    tail_m, nav_m = run_leg(sim_m, st_m)
+    assert np.asarray(nav_m["mag_alarm"])[-1]      # caught
+    assert np.abs(tail_m).max() < 3.0, tail_m      # heading not walked

@@ -326,7 +326,7 @@ configuration). Measured drift vs the f64 trajectory
 | 600 s | trim + elevator step (phugoid) | 0.91 m | 4e-4 m/s | 7.5e-4 rad | 3e-4 m/s |
 | 600 s | trimmed cruise, comp OFF | 753 m | 1.0e-3 m/s | 1.8e-3 rad | 9e-4 m/s |
 | 600 s | CLOSED-LOOP turning climb (truth-fed autopilot) | 0.85 m | 2.1e-5 m/s | 7.1e-6 rad | 1e-5 m/s |
-| 600 s | CLOSED-LOOP turning climb (sensor-fed, InsGps) | 0.37 m | 1.4e-4 m/s | 4.4e-5 rad | 2e-5 m/s |
+| 600 s | CLOSED-LOOP turning climb (sensor-fed, InsGps) | 0.73 m | 5.4e-4 m/s | 4.3e-5 rad | 2e-5 m/s |
 | 600 s | closed-loop turning climb, comp OFF | 63.2 m | 1.7e-3 m/s | 5.8e-6 rad | 3e-5 m/s |
 
 Compensation recovers the sub-f32-ulp per-step position increments
