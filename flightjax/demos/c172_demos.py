@@ -487,6 +487,51 @@ def crosswind_landing_nav(t_end=120.0, dt=0.02, wind_E=6.0, save_every=25,
     return final, log
 
 
+def takeoff_nav(t_end=80.0, dt=0.02, save_every=25, gains=None, seed=0,
+                nav_kw=None):
+    """Takeoff flown ON THE NAVIGATION SOLUTION from a cold start on the
+    LOWS 15 threshold — the other ground end of the sensor-fed story
+    (the landing is `crosswind_landing_nav`): parked ground ALIGNMENT
+    (`NavAvionics.align_cold` — origin/baro datum/field at the parked
+    fix, no trim solve), engine start, full-throttle ground roll,
+    rotation and climb-out on the departure leg, with the filter aided
+    through the roll by GPS/baro/mag and the radar row reading the
+    gear-extended CoM height. Returns (final SimState, TimeSeries log)."""
+    from flightjax.core.mission import Phase
+    from flightjax.core.sim import SimState
+    from flightjax.physics.kinematics import kin_init
+
+    legs = _lows_pattern()
+    lib = _mission_phase_lib(legs)
+    hold = lambda u, y, t: u
+
+    phases = [
+        Phase("standby", hold, lambda y, t: t >= 5.0),
+        Phase("startup", hold, lib["engine_running"],
+              systems=lib["engine_start"]),
+        Phase("takeoff", lib["fly_leg"](legs["departure"], 35.0,
+                                        throttle=1.0), lib["airborne"]),
+        Phase("departure",
+              lib["fly_leg"](legs["departure"], 35.0, throttle=1.0),
+              lib["captured"](legs["departure"])),
+    ]
+    world = _mission_world_nav(phases, gains, dt=dt, nav_kw=nav_kw)
+    sim = Simulation(world, dt=dt, periodic_dt=dt)
+
+    ic = kin_init(lat=LAT_LOWS15, lon=LON_LOWS15, h=H_LOWS15 + DH_TO_GND,
+                  h_datum="orthometric", euler=[PSI_LOWS15, 0.0, 0.0])
+    x, u, s = world.init(kin_init=ic, fuel=0.5)
+    _, veh_y = world.aircraft.vehicle.f_ode(x["vehicle"], u["vehicle"],
+                                            s["vehicle"], 0.0)
+    u["avionics"], s["avionics"] = world.aircraft.avionics.align_cold(
+        u["avionics"], s["avionics"], veh_y, seed=seed)
+    state = SimState(t=jnp.asarray(0.0), i=jnp.asarray(0, dtype=jnp.int32),
+                     x=x, u=u, s=s)
+    final, log = sim.run(state, t_end=t_end, t0=0.0,
+                         save_every=save_every, dispatch_blocks=20)
+    return final, log
+
+
 def traffic_pattern(t_end=700.0, dt=0.02, save_every=50, gains=None):
     """Full scripted mission around LOWS 15 (`c172_demos.jl:514-645`):
     standby 5 s -> engine start -> full-throttle takeoff on the departure

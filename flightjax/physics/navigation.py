@@ -715,7 +715,26 @@ class NavAvionics:
         u = self.init_u()
         s = self.init_s()
         u["inner"], s["inner"] = u_in, s_in
-        u["sens"]["seed"] = jnp.asarray(seed, jnp.int32)
+        return self._align(u, s, veh_y, seed, init_key, init_errors)
+
+    def align_cold(self, u, s, veh_y, seed=0, init_key=None,
+                   init_errors=None):
+        """Ground (parked) alignment for cold-start missions that begin
+        from `world.init` rather than a trim solve — the takeoff end of
+        the ground story: filter origin / baro datum / geomagnetic field
+        set at the parked fix, attitude/velocity fine-aligned to the
+        (stationary) veh_y, inner avionics state left as built (cold,
+        direct modes). At rest, tilt stays observable through the
+        gravity misprojection in the GPS-velocity residuals and heading
+        through the mag row, so the filter holds alignment through
+        engine start and the ground roll (tested:
+        `tests/test_missions.py::test_takeoff_nav_ground_roll_to_climb`).
+        Returns the updated (u, s)."""
+        return self._align(dict(u), dict(s), veh_y, seed, init_key,
+                           init_errors)
+
+    def _align(self, u, s, veh_y, seed, init_key, init_errors):
+        u["sens"] = dict(u["sens"], seed=jnp.asarray(seed, jnp.int32))
 
         kin, air = veh_y.kinematics, veh_y.airflow
         p = self._params

@@ -249,3 +249,48 @@ def _landing_nav_rig(dt=0.02, s_togo=1500.0, wind_E=6.0):
     veh_u["atm"] = dict(veh_u["atm"],
                         wind=jnp.asarray([0.0, float(wind_E), 0.0]))
     return sim, state._replace(u=dict(state.u, vehicle=veh_u))
+
+
+def test_takeoff_nav_ground_roll_to_climb():
+    """The other ground end of the sensor-fed story: cold start parked
+    on LOWS 15 with a GROUND ALIGNMENT (`NavAvionics.align_cold`, no
+    trim solve), engine start, full-throttle ground roll, rotation and
+    climb-out — the whole sequence flown on the navigation solution.
+    Navigation must stay honest from standstill through the roll (tilt
+    held by the gravity misprojection in GPS-velocity residuals, heading
+    by mag, altitude by the radar row reading the gear height) with no
+    false alarms across the accelerating ground phase."""
+    import jax
+
+    final, log = D.takeoff_nav(t_end=80.0, save_every=10)
+    phase = np.asarray(log.y.avionics["inner"]["phase"])
+    kin = log.y.vehicle.kinematics
+    nav = log.y.avionics["nav"]
+
+    # mission progressed: engine started, lifted off, departure phase
+    assert int(final.s["avionics"]["inner"]["phase"]) >= 3, \
+        int(final.s["avionics"]["inner"]["phase"])
+    assert not bool(final.s["terminated"])
+    # climbed away: at least 100 m above the field at the end
+    agl_end = float(np.asarray(kin.h_o)[-1]) - D.H_LOWS15
+    assert agl_end > 100.0, agl_end
+
+    # navigation honesty from standstill through rotation: altitude
+    # estimate within 3 m, attitude within 2 deg, THROUGHOUT
+    h_err = np.abs(np.asarray(nav["h_est"]) - np.asarray(kin.h_e))
+    assert h_err.max() < 3.0, h_err.max()
+    q_t, q_e = np.asarray(kin.q_nb), np.asarray(nav["q_nb"])
+    att_err = np.degrees(2 * np.arccos(np.clip(
+        np.abs(np.sum(q_t * q_e, axis=-1)), 0.0, 1.0)))
+    assert att_err.max() < 2.0, att_err.max()
+
+    # no false alarms through engine start + accelerating ground roll
+    for ch in ("gps_alarm", "baro_alarm", "mag_alarm", "radar_alarm"):
+        assert not np.asarray(nav[ch]).any(), ch
+
+    # the radar row aided through the parked/roll phases: altitude
+    # estimate error on the runway stays sub-metre (radar sigma 0.2 m
+    # against the gear-extended CoM height)
+    on_rwy = phase <= 1
+    assert on_rwy.any()
+    assert h_err[on_rwy].max() < 1.0, h_err[on_rwy].max()
